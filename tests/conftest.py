@@ -1,0 +1,34 @@
+"""Test harness config: run everything on a simulated 8-device CPU mesh.
+
+The real target is TPU, but tests must be fast and deterministic and must
+exercise the multi-device sharding paths, so we force the CPU backend with
+8 virtual XLA devices (SURVEY.md section 4, "Implication for the TPU
+framework's test strategy").
+
+NOTE: this must run before any jax backend is initialized. The axon TPU
+plugin registers itself via sitecustomize at interpreter start, but the
+platform *selection* can still be overridden via jax.config here.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# persistent compile cache: tiny uint64 kernels dominate wall time otherwise
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_vfhe")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0x60401DC5)

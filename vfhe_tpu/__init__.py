@@ -1,0 +1,34 @@
+"""vfhe_tpu — a TPU-native verifiable-FHE (vPBS) prover framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+zama-ai/verifiable-fhe-paper (mounted read-only at /root/reference):
+proving correct execution of TFHE's programmable bootstrapping with a
+plonky2-style FRI/PLONK proof system over the Goldilocks field, driven
+as batched, jit-compiled tensor programs on TPU.
+
+Layer map (mirrors SURVEY.md section 1, re-architected TPU-first):
+
+    vfhe_tpu.field      Goldilocks + quadratic extension kernels (ref: plonky2 field)
+    vfhe_tpu.ntt        negacyclic NTT kernels + parameter tables (ref: src/ntt)
+    vfhe_tpu.crypto     native TFHE layer: witness generator / test oracle
+                        (ref: src/vtfhe/crypto)
+    vfhe_tpu.hashing    Poseidon permutation / hashing (ref: plonky2 PoseidonHash)
+    vfhe_tpu.circuit    circuit builder: targets, ops, witness generation
+                        (ref: plonky2 CircuitBuilder API surface)
+    vfhe_tpu.gadgets    ciphertexts-of-targets gadget layer (ref: src/vtfhe/*.rs,
+                        src/vec_arithmetic.rs)
+    vfhe_tpu.prover     FRI polynomial commitment + PLONK-style prover/verifier
+                        (ref: plonky2 prover; rebuilt as batched JAX kernels)
+    vfhe_tpu.ivc        the vPBS step protocol, proof chaining and verification
+                        (ref: src/vtfhe/ivc_based_vpbs.rs)
+    vfhe_tpu.parallel   device-mesh sharding of NTT / FRI / Merkle work
+    vfhe_tpu.utils      timing trees, logging, config
+"""
+
+import jax as _jax
+
+# The whole framework computes in uint64 Goldilocks arithmetic; 64-bit types
+# must be enabled before any jax array is created.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
