@@ -1,0 +1,130 @@
+"""Vectorized Poseidon permutation, sponge hashing, and hash chains.
+
+TPU-native rebuild of plonky2's ``PoseidonHash`` as used by the reference
+for Merkle commitments, Fiat-Shamir, and the bsk/LWE hash chains
+(ivc_based_vpbs.rs:64-78, 127-146). All entry points are batched over
+leading axes: hashing L Merkle leaves is ONE ``(L, 12)``-state
+permutation sequence, not L scalar hashes.
+
+Performance note: the MDS layer multiplies by a constant matrix with
+< 2^7 entries, so instead of 144 full mulmods per state we split the
+state into 32-bit halves, do two small-integer (12x12) matmuls whose
+accumulators stay below 2^43 (no overflow), and do a single 128-bit-style
+reduction per output element.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from . import constants as C
+
+HASH_OUT_ELTS = 4  # NUM_HASH_OUT_ELTS in plonky2
+
+
+def _sbox(x: jnp.ndarray) -> jnp.ndarray:
+    """x^7 with 4 muls."""
+    x2 = gl.mul(x, x)
+    x4 = gl.mul(x2, x2)
+    return gl.mul(gl.mul(x4, x2), x)
+
+
+def _mds(state: jnp.ndarray) -> jnp.ndarray:
+    """MDS layer out = M @ state over F_q, batched over leading axes.
+
+    M entries are < 2^7; with the state split into 32-bit halves both
+    integer accumulators stay < 12 * 127 * 2^32 < 2^43, so we only reduce
+    once per output element.
+    """
+    m = jnp.asarray(C.mds_matrix())  # (12, 12) uint64, small entries
+    lo = state & jnp.uint64(0xFFFF_FFFF)
+    hi = state >> jnp.uint64(32)
+    # out[i] = sum_j M[i, j] * state[..., j]; explicit broadcast + reduce
+    # (u64 dot_general is not universally supported, elementwise ops are)
+    acc_lo = (m * lo[..., None, :]).sum(axis=-1)
+    acc_hi = (m * hi[..., None, :]).sum(axis=-1)
+    # value = acc_hi * 2^32 + acc_lo, both < 2^43
+    hi64 = acc_hi >> jnp.uint64(32)                      # < 2^11
+    lo64 = acc_lo + ((acc_hi & jnp.uint64(0xFFFF_FFFF)) << jnp.uint64(32))
+    carry = (lo64 < acc_lo).astype(jnp.uint64)           # 2^64 overflow bit
+    return gl._reduce128(hi64 + carry, lo64)
+
+
+def permute(state: jnp.ndarray) -> jnp.ndarray:
+    """The Poseidon permutation on (..., 12) states."""
+    rc = jnp.asarray(C.all_round_constants())  # (30, 12)
+    r = 0
+    for _ in range(C.HALF_FULL_ROUNDS):
+        state = gl.add(state, rc[r])
+        state = _sbox(state)
+        state = _mds(state)
+        r += 1
+    for _ in range(C.N_PARTIAL_ROUNDS):
+        state = gl.add(state, rc[r])
+        state = state.at[..., 0].set(_sbox(state[..., 0]))
+        state = _mds(state)
+        r += 1
+    for _ in range(C.HALF_FULL_ROUNDS):
+        state = gl.add(state, rc[r])
+        state = _sbox(state)
+        state = _mds(state)
+        r += 1
+    return state
+
+
+permute_jit = jax.jit(permute)
+
+
+def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
+    """Sponge hash of (..., L) inputs to (..., 4) digests.
+
+    Overwrite-mode absorption in rate-8 chunks then squeeze 4 elements,
+    mirroring plonky2's hash_n_to_m_no_pad (used by the reference via
+    hash_n_to_hash_no_pad, ivc_based_vpbs.rs:128).
+    """
+    inputs = jnp.asarray(inputs, jnp.uint64)
+    batch = inputs.shape[:-1]
+    length = inputs.shape[-1]
+    state = jnp.zeros((*batch, C.WIDTH), jnp.uint64)
+    for start in range(0, length, C.RATE):
+        chunk = inputs[..., start:start + C.RATE]
+        w = chunk.shape[-1]
+        state = jnp.concatenate([chunk, state[..., w:]], axis=-1)
+        state = permute(state)
+    return state[..., :HASH_OUT_ELTS]
+
+
+hash_no_pad_jit = jax.jit(hash_no_pad)
+
+
+def two_to_one(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    """Compress two (..., 4) digests into one (plonky2's compress):
+    state = [left || right || 0000], permute, take first 4."""
+    batch = left.shape[:-1]
+    cap = jnp.zeros((*batch, C.WIDTH - 2 * HASH_OUT_ELTS), jnp.uint64)
+    state = jnp.concatenate([left, right, cap], axis=-1)
+    return permute(state)[..., :HASH_OUT_ELTS]
+
+
+two_to_one_jit = jax.jit(two_to_one)
+
+
+def hash_chain(init: jnp.ndarray, blocks: jnp.ndarray) -> jnp.ndarray:
+    """h_{i+1} = H(h_i || block_i) over a (T, B) stack of equal blocks.
+
+    Native model of the reference's verify_hash_output iteration
+    (ivc_based_vpbs.rs:64-78); used to (re)compute the bsk / LWE-mask
+    binding chains.
+    """
+    def step(h, block):
+        return hash_no_pad(jnp.concatenate([h, block], axis=-1)), None
+
+    out, _ = jax.lax.scan(step, init, blocks)
+    return out
+
+
+def zero_digest() -> jnp.ndarray:
+    return jnp.zeros(HASH_OUT_ELTS, jnp.uint64)
