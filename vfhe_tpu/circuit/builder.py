@@ -1,0 +1,336 @@
+"""TPU-native circuit builder: the plonky2 ``CircuitBuilder`` equivalent.
+
+The reference builds ONE universal step circuit through plonky2's gate
+DSL and then proves it n+2 times (ivc_based_vpbs.rs:190-275, SURVEY.md
+section 7). This builder keeps that API surface — targets, virtual
+targets, public inputs, ``add/sub/mul/mul_add/select/is_equal/split_le/
+le_sum/connect/constant/hash_n_to_hash_no_pad`` (the exact surface the
+reference uses, SURVEY.md L0) — but records *vectorized* ops: gadget
+layers call the ``*_vec`` forms, so an entire NTT butterfly stage or a
+whole polynomial decomposition is ONE ledger entry. Consequences:
+
+* witness generation compiles to a single jit'd JAX function (a few
+  hundred wide vector ops instead of millions of scalar generators);
+* constraint rows are assembled with bulk numpy, no per-gate python;
+* proving is batched row-parallel math downstream (fft/merkle/fri).
+
+Gate set (each row is one gate instance; wires beyond a gate's use are
+zero-filled and unrouted):
+
+  ARITH     20 lanes of plonky2's arithmetic op out = k0*a*b + k1*c,
+            lane wires [a, b, c, out] in the routed region; (k0, k1) sit
+            in constant columns 0/1 and are shared per row.
+  BASESUM_b wires [sum, bit_0 .. bit_{b-1}]; constraints: binary bits +
+            little-endian recombination (plonky2 BaseSumGate<2>).
+  POS_A/B/C a Poseidon permutation split over three rows of 10 rounds;
+            wires [state_in(12) | state_out(12) | 9 inner states(108)].
+  CONST     4 wires pinned to constant columns (plonky2 ConstantGate).
+  PI        4 wires pinned to the public-input hash (PublicInputGate).
+  NOOP      padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..hashing import constants as HC
+from ..hashing import poseidon as HP
+from .config import CircuitConfig, STANDARD_CONFIG
+
+# gate kind tags
+NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI = range(8)
+
+ARITH_LANES = 20
+POS_CHUNK = 10  # rounds per poseidon row
+
+
+def _np_idx(x) -> np.ndarray:
+    return np.atleast_1d(np.asarray(x, dtype=np.int64))
+
+
+@dataclass
+class _WitnessOp:
+    kind: str
+    data: dict
+
+
+@dataclass
+class GateInstance:
+    kind: int
+    param: int = 0      # BASESUM: nbits
+    selector: int = -1  # assigned at build
+
+
+class CircuitBuilder:
+    """Records ops + constraint rows; ``build()`` freezes everything."""
+
+    def __init__(self, config: CircuitConfig = STANDARD_CONFIG):
+        self.config = config
+        self._num_targets = 0
+        self._ops: list[_WitnessOp] = []
+        self._defined = set()        # targets produced by some op
+        self._const_map: dict[int, int] = {}
+        self._copies: list[tuple[int, int]] = []
+        self._pis: list[int] = []
+        # row ledgers
+        self._arith_groups: dict[tuple[int, int], list] = {}
+        self._basesum: dict[int, list] = {}   # nbits -> [(sum(L,), bits(L,b))]
+        self._poseidon: list = []             # (in(L,12), states(L,30,12))
+        self._built = False
+
+    # ------------------------------------------------------------------ #
+    # targets
+    # ------------------------------------------------------------------ #
+
+    def add_virtual_targets(self, n: int) -> np.ndarray:
+        start = self._num_targets
+        self._num_targets += n
+        return np.arange(start, start + n, dtype=np.int64)
+
+    def add_virtual_target(self) -> int:
+        return int(self.add_virtual_targets(1)[0])
+
+    def add_virtual_public_input(self) -> int:
+        t = self.add_virtual_target()
+        self.register_public_input(t)
+        return t
+
+    def add_virtual_public_inputs(self, n: int) -> np.ndarray:
+        ts = self.add_virtual_targets(n)
+        self.register_public_inputs(ts)
+        return ts
+
+    def add_virtual_bool_target_safe(self) -> int:
+        t = self.add_virtual_target()
+        self.assert_bool(t)
+        return t
+
+    def add_virtual_hash(self) -> np.ndarray:
+        return self.add_virtual_targets(HP.HASH_OUT_ELTS)
+
+    def register_public_input(self, t: int) -> None:
+        self._pis.append(int(t))
+
+    def register_public_inputs(self, ts) -> None:
+        for t in _np_idx(ts):
+            self._pis.append(int(t))
+
+    def num_public_inputs(self) -> int:
+        return len(self._pis)
+
+    # ------------------------------------------------------------------ #
+    # constants
+    # ------------------------------------------------------------------ #
+
+    def constant(self, value: int) -> int:
+        value = int(value) % gl.P
+        if value not in self._const_map:
+            t = self.add_virtual_target()
+            self._const_map[value] = t
+            self._defined.add(t)
+        return self._const_map[value]
+
+    def constants(self, values) -> np.ndarray:
+        return np.array([self.constant(v) for v in np.asarray(values).ravel()],
+                        dtype=np.int64)
+
+    def zero(self) -> int:
+        return self.constant(0)
+
+    def one(self) -> int:
+        return self.constant(1)
+
+    def neg_one(self) -> int:
+        return self.constant(gl.P - 1)
+
+    # ------------------------------------------------------------------ #
+    # vectorized core ops
+    # ------------------------------------------------------------------ #
+
+    def _arith_vec(self, k0: int, k1: int, a, b, c, out=None) -> np.ndarray:
+        """Lanes out = k0*a*b + k1*c. If ``out`` given, it is enforced (its
+        cell holds the existing target); else fresh targets are created."""
+        a, b, c = _np_idx(a), _np_idx(b), _np_idx(c)
+        assert a.shape == b.shape == c.shape
+        if out is None:
+            out = self.add_virtual_targets(a.size)
+            self._defined.update(out.tolist())
+            self._ops.append(_WitnessOp("arith", dict(
+                k0=k0 % gl.P, k1=k1 % gl.P, a=a, b=b, c=c, out=out)))
+        else:
+            out = _np_idx(out)
+        key = (k0 % gl.P, k1 % gl.P)
+        self._arith_groups.setdefault(key, []).append((a, b, c, out))
+        return out
+
+    def add_vec(self, x, y) -> np.ndarray:
+        one = np.full(_np_idx(x).shape, self.one(), dtype=np.int64)
+        return self._arith_vec(1, 1, x, one, y)
+
+    def sub_vec(self, x, y) -> np.ndarray:
+        one = np.full(_np_idx(x).shape, self.one(), dtype=np.int64)
+        return self._arith_vec(1, gl.P - 1, x, one, y)
+
+    def mul_vec(self, x, y) -> np.ndarray:
+        zero = np.full(_np_idx(x).shape, self.zero(), dtype=np.int64)
+        return self._arith_vec(1, 0, x, y, zero)
+
+    def mul_add_vec(self, x, y, z) -> np.ndarray:
+        return self._arith_vec(1, 1, x, y, z)
+
+    def neg_vec(self, x) -> np.ndarray:
+        x = _np_idx(x)
+        one = np.full(x.shape, self.one(), dtype=np.int64)
+        zero = np.full(x.shape, self.zero(), dtype=np.int64)
+        return self._arith_vec(gl.P - 1, 0, x, one, zero)
+
+    def mul_const_vec(self, consts, x) -> np.ndarray:
+        """Per-lane constant multiply: lowered as mul by constant targets
+        (the reference does the same for NTT twiddles, ntt/mod.rs:19-22)."""
+        c_ts = self.constants(consts)
+        return self.mul_vec(x, np.broadcast_to(c_ts, _np_idx(x).shape))
+
+    def select_vec(self, ctrl, x, y) -> np.ndarray:
+        """out = ctrl ? x : y == ctrl*(x-y) + y (2 lanes)."""
+        ctrl = np.broadcast_to(_np_idx(ctrl), _np_idx(x).shape)
+        d = self.sub_vec(x, y)
+        return self.mul_add_vec(ctrl, d, y)
+
+    def assert_bool(self, t) -> None:
+        """b*b - b == 0 via an arith lane writing into the zero cell."""
+        t = _np_idx(t)
+        zero = np.full(t.shape, self.zero(), dtype=np.int64)
+        self._arith_vec(1, gl.P - 1, t, t, t, out=zero)
+
+    def split_le_vec(self, x, nbits: int) -> np.ndarray:
+        """(L,) targets -> (L, nbits) bit targets, little-endian."""
+        x = _np_idx(x)
+        bits = self.add_virtual_targets(x.size * nbits).reshape(x.size, nbits)
+        self._defined.update(bits.ravel().tolist())
+        self._ops.append(_WitnessOp("split", dict(x=x, bits=bits)))
+        self._basesum.setdefault(nbits, []).append((x, bits))
+        return bits
+
+    def le_sum_vec(self, bits) -> np.ndarray:
+        """(L, nbits) bit targets -> (L,) recombined sums."""
+        bits = np.asarray(bits, dtype=np.int64)
+        out = self.add_virtual_targets(bits.shape[0])
+        self._defined.update(out.tolist())
+        self._ops.append(_WitnessOp("lesum", dict(bits=bits, out=out)))
+        self._basesum.setdefault(bits.shape[1], []).append((out, bits))
+        return out
+
+    def poseidon_vec(self, states) -> np.ndarray:
+        """(L, 12) state targets -> (L, 12) permuted-state targets."""
+        states = np.asarray(states, dtype=np.int64)
+        L = states.shape[0]
+        inter = self.add_virtual_targets(L * 30 * 12).reshape(L, 30, 12)
+        self._defined.update(inter.ravel().tolist())
+        self._ops.append(_WitnessOp("poseidon", dict(inp=states, states=inter)))
+        self._poseidon.append((states, inter))
+        return inter[:, 29, :]
+
+    def connect(self, x: int, y: int) -> None:
+        x, y = int(x), int(y)
+        self._copies.append((x, y))
+        if x in self._defined and y not in self._defined:
+            self._defined.add(y)
+            self._ops.append(_WitnessOp("copy", dict(src=np.array([x]),
+                                                     dst=np.array([y]))))
+        elif y in self._defined and x not in self._defined:
+            self._defined.add(x)
+            self._ops.append(_WitnessOp("copy", dict(src=np.array([y]),
+                                                     dst=np.array([x]))))
+
+    def connect_vec(self, xs, ys) -> None:
+        for x, y in zip(_np_idx(xs), _np_idx(ys)):
+            self.connect(int(x), int(y))
+
+    # ------------------------------------------------------------------ #
+    # scalar conveniences (reference builder API surface)
+    # ------------------------------------------------------------------ #
+
+    def add(self, x, y):
+        return int(self.add_vec([x], [y])[0])
+
+    def sub(self, x, y):
+        return int(self.sub_vec([x], [y])[0])
+
+    def mul(self, x, y):
+        return int(self.mul_vec([x], [y])[0])
+
+    def mul_add(self, x, y, z):
+        return int(self.mul_add_vec([x], [y], [z])[0])
+
+    def neg(self, x):
+        return int(self.neg_vec([x])[0])
+
+    def select(self, b, x, y):
+        return int(self.select_vec([b], [x], [y])[0])
+
+    def split_le(self, x, nbits: int) -> np.ndarray:
+        return self.split_le_vec([x], nbits)[0]
+
+    def le_sum(self, bits) -> int:
+        return int(self.le_sum_vec(np.asarray(bits)[None, :])[0])
+
+    def is_equal(self, x: int, y: int) -> int:
+        """Boolean target out = (x == y), plonky2-style with an inverse aux."""
+        out = self.add_virtual_target()
+        m = self.add_virtual_target()
+        self._defined.update([out, m])
+        self._ops.append(_WitnessOp("eq", dict(a=np.array([x]),
+                                               b=np.array([y]),
+                                               out=np.array([out]),
+                                               m=np.array([m]))))
+        diff = self.sub(x, y)
+        # out * diff == 0
+        self._arith_vec(1, 0, [out], [diff], [self.zero()],
+                        out=[self.zero()])
+        # m * diff == 1 - out  <=>  m*diff + out == 1
+        md = self.mul(m, diff)
+        self._arith_vec(1, 1, [md], [self.one()], [out], out=[self.one()])
+        return out
+
+    def hash_n_to_hash_no_pad(self, inputs) -> np.ndarray:
+        """In-circuit sponge (rate 8, overwrite) -> 4 digest targets.
+        Mirrors plonky2's hash_n_to_hash_no_pad used at
+        ivc_based_vpbs.rs:128-143."""
+        inputs = _np_idx(inputs)
+        z = self.zero()
+        state = np.full(12, z, dtype=np.int64)
+        for start in range(0, inputs.size, 8):
+            chunk = inputs[start:start + 8]
+            state = state.copy()
+            state[:chunk.size] = chunk
+            state = self.poseidon_vec(state[None, :])[0]
+        return state[:4]
+
+    # ------------------------------------------------------------------ #
+    # build
+    # ------------------------------------------------------------------ #
+
+    def num_gates(self) -> int:
+        rows = 0
+        for key, chunks in self._arith_groups.items():
+            lanes = sum(c[0].size for c in chunks)
+            rows += -(-lanes // ARITH_LANES)
+        for nbits, entries in self._basesum.items():
+            rows += sum(e[0].size for e in entries)
+        rows += 3 * sum(p[0].shape[0] for p in self._poseidon)
+        rows += -(-len(self._const_map) // 4)
+        rows += 1  # PI gate
+        return rows
+
+    def build(self, min_rows: int = 0) -> "CircuitData":
+        from .compile import compile_circuit
+        assert not self._built
+        self._built = True
+        return compile_circuit(self, min_rows)

@@ -1,0 +1,322 @@
+"""Circuit compilation: builder ledgers -> proving-ready static data.
+
+This is the ``builder.build::<C>()`` moment of the reference
+(ivc_based_vpbs.rs:275), re-imagined: instead of a gate graph we emit
+
+* a (h, num_wires) wire->target index matrix (trace building = one gather),
+* selector / constant columns, sigma permutation values (copy constraints),
+* a single jit-compiled witness-generation function (ordered vector ops).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..hashing import constants as HC
+from ..hashing import poseidon as HP
+from .builder import (NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI,
+                      ARITH_LANES, CircuitBuilder, GateInstance)
+from .config import CircuitConfig
+
+
+@dataclass
+class CircuitData:
+    config: CircuitConfig
+    h: int                       # padded number of rows (power of two)
+    rows_used: int
+    num_targets: int
+    zero_slot: int               # witness index holding constant 0
+    wire_index: np.ndarray       # (h, num_wires) int64 into witness vector
+    row_consts: np.ndarray       # (h, num_constants) uint64
+    selectors: np.ndarray        # (num_selectors, h) uint64 0/1
+    gates: list                  # GateInstance per selector index
+    sigma_vals: np.ndarray       # (num_routed, h) uint64
+    k_cosets: np.ndarray         # (num_routed,) coset shifts k_c
+    pi_targets: np.ndarray       # (num_pis,) int64
+    witness_fn: object           # jit: (num_targets+1,) -> (num_targets+1,)
+    num_inputs_hint: int = 0
+    # prover-side caches (filled lazily by the prover)
+    prover_cache: dict = dfield(default_factory=dict)
+
+    @property
+    def degree_bits(self) -> int:
+        return self.h.bit_length() - 1
+
+
+def _pad_rows(mat: np.ndarray, width: int, fill) -> np.ndarray:
+    if mat.shape[1] == width:
+        return mat
+    pad = np.full((mat.shape[0], width - mat.shape[1]), fill, dtype=mat.dtype)
+    return np.concatenate([mat, pad], axis=1)
+
+
+def compile_circuit(b: CircuitBuilder, min_rows: int = 0) -> CircuitData:
+    cfg = b.config
+    zero_t = b.constant(0)
+    b.constant(1)
+
+    # public-input hash circuit (plonky2 hashes registered PIs in build())
+    pi_targets = np.array(b._pis, dtype=np.int64)
+    b._built = False  # allow the PI-hash gadget to record ops
+    pi_digest = b.hash_n_to_hash_no_pad(pi_targets) if len(pi_targets) else \
+        np.full(4, zero_t, dtype=np.int64)
+    b._built = True
+
+    wires_rows = []     # (width-variable) -> padded later
+    consts_rows = []
+    kinds = []          # (kind, param) per row
+
+    # ---- arithmetic rows ------------------------------------------------
+    for (k0, k1), chunks in sorted(b._arith_groups.items()):
+        a = np.concatenate([c[0] for c in chunks])
+        bb = np.concatenate([c[1] for c in chunks])
+        c_ = np.concatenate([c[2] for c in chunks])
+        out = np.concatenate([c[3] for c in chunks])
+        lanes = a.size
+        nrows = -(-lanes // ARITH_LANES)
+        padn = nrows * ARITH_LANES - lanes
+        if padn:
+            zpad = np.full(padn, zero_t, dtype=np.int64)
+            a, bb, c_, out = (np.concatenate([x, zpad])
+                              for x in (a, bb, c_, out))
+        lanes4 = np.stack([a, bb, c_, out], axis=1).reshape(nrows,
+                                                            ARITH_LANES * 4)
+        for r in range(nrows):
+            wires_rows.append(lanes4[r])
+            consts_rows.append([k0, k1, 0, 0])
+            kinds.append((ARITH, 0))
+
+    # ---- base-sum rows --------------------------------------------------
+    for nbits, entries in sorted(b._basesum.items()):
+        sums = np.concatenate([e[0] for e in entries])
+        bits = np.concatenate([e[1] for e in entries], axis=0)
+        for r in range(sums.size):
+            wires_rows.append(np.concatenate([[sums[r]], bits[r]]))
+            consts_rows.append([0, 0, 0, 0])
+            kinds.append((BASESUM, nbits))
+
+    # ---- poseidon rows --------------------------------------------------
+    for inp, st in b._poseidon:
+        L = inp.shape[0]
+        for l in range(L):
+            s = st[l]
+            rowA = np.concatenate([inp[l], s[9], s[0:9].ravel()])
+            rowB = np.concatenate([s[9], s[19], s[10:19].ravel()])
+            rowC = np.concatenate([s[19], s[29], s[20:29].ravel()])
+            for kind, row in ((POS_A, rowA), (POS_B, rowB), (POS_C, rowC)):
+                wires_rows.append(row)
+                consts_rows.append([0, 0, 0, 0])
+                kinds.append((kind, 0))
+
+    # ---- constant rows --------------------------------------------------
+    const_items = sorted(b._const_map.items(), key=lambda kv: kv[1])
+    for start in range(0, len(const_items), 4):
+        chunk = const_items[start:start + 4]
+        wires_rows.append(np.array([t for _, t in chunk], dtype=np.int64))
+        consts_rows.append([v for v, _ in chunk] + [0] * (4 - len(chunk)))
+        kinds.append((CONST, len(chunk)))
+
+    # ---- public-input row ----------------------------------------------
+    wires_rows.append(pi_digest)
+    consts_rows.append([0, 0, 0, 0])
+    kinds.append((PI, 0))
+
+    # ---- pad to power of two -------------------------------------------
+    rows_used = len(wires_rows)
+    h = 1 << max(int(np.ceil(np.log2(max(rows_used, min_rows, 64)))), 6)
+
+    num_targets = b._num_targets
+    zero_slot = num_targets  # extra slot pinned to 0 in the witness vector
+    W = cfg.num_wires
+    wire_index = np.full((h, W), zero_slot, dtype=np.int64)
+    for r, row in enumerate(wires_rows):
+        wire_index[r, :row.size] = row
+    row_consts = np.zeros((h, cfg.num_constants), dtype=np.uint64)
+    arr = np.array([[int(x) % gl.P for x in rc] for rc in consts_rows],
+                   dtype=np.uint64)
+    row_consts[:rows_used] = arr
+
+    # ---- selectors ------------------------------------------------------
+    gate_key_to_sel = {}
+    gates: list[GateInstance] = []
+    sel_of_row = np.full(h, -1, dtype=np.int64)
+    for r, (kind, param) in enumerate(kinds):
+        key = (kind, param if kind == BASESUM else 0)
+        if kind == NOOP:
+            continue
+        if key not in gate_key_to_sel:
+            gate_key_to_sel[key] = len(gates)
+            gates.append(GateInstance(kind=key[0], param=key[1],
+                                      selector=len(gates)))
+        sel_of_row[r] = gate_key_to_sel[key]
+    S = len(gates)
+    selectors = np.zeros((S, h), dtype=np.uint64)
+    for s in range(S):
+        selectors[s, sel_of_row == s] = 1
+
+    # ---- copy constraints -> sigma --------------------------------------
+    parent = np.arange(num_targets + 1, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in b._copies:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    roots = np.array([find(i) for i in range(num_targets + 1)],
+                     dtype=np.int64)
+
+    R = cfg.num_routed_wires
+    routed = wire_index[:, :R]                     # (h, R)
+    flat_cell = (np.arange(R)[None, :] * h + np.arange(h)[:, None])  # c*h+r
+    used = routed != zero_slot
+    cells = flat_cell[used]
+    keys = roots[routed[used]]
+
+    order = np.argsort(keys, kind="stable")
+    cells_sorted = cells[order]
+    keys_sorted = keys[order]
+    sigma_cell = np.arange(R * h, dtype=np.int64)  # identity default
+    if cells_sorted.size:
+        starts = np.flatnonzero(np.concatenate(
+            [[True], keys_sorted[1:] != keys_sorted[:-1]]))
+        ends = np.concatenate([starts[1:], [keys_sorted.size]])
+        # cyclic shift within each run, fully vectorized
+        nxt = np.empty_like(cells_sorted)
+        nxt[:-1] = cells_sorted[1:]
+        nxt[ends - 1] = cells_sorted[starts]
+        sigma_cell[cells_sorted] = nxt
+
+    # encode sigma as field values k_c * g^r
+    g = gl.primitive_root_of_unity(h)
+    g_pows = np.empty(h, dtype=np.uint64)
+    acc = 1
+    for r in range(h):
+        g_pows[r] = acc
+        acc = gl.h_mul(acc, g)
+    k_cosets = np.empty(R, dtype=np.uint64)
+    acc = 1
+    for c in range(R):
+        k_cosets[c] = acc
+        acc = gl.h_mul(acc, gl.GENERATOR)
+    sig_c = sigma_cell // h
+    sig_r = sigma_cell % h
+    sigma_flat = (k_cosets[sig_c].astype(object) *
+                  g_pows[sig_r].astype(object)) % gl.P
+    sigma_vals = np.array(sigma_flat, dtype=np.uint64).reshape(R, h)
+
+    # ---- witness function ----------------------------------------------
+    witness_fn = _compile_witness(b, num_targets, zero_slot)
+
+    return CircuitData(
+        config=cfg, h=h, rows_used=rows_used, num_targets=num_targets,
+        zero_slot=zero_slot, wire_index=wire_index, row_consts=row_consts,
+        selectors=selectors, gates=gates, sigma_vals=sigma_vals,
+        k_cosets=k_cosets, pi_targets=pi_targets, witness_fn=witness_fn)
+
+
+# ---------------------------------------------------------------------------
+# witness generation
+# ---------------------------------------------------------------------------
+
+def _poseidon_all_states(state: jnp.ndarray) -> jnp.ndarray:
+    """(L, 12) -> (L, 30, 12): state after each of the 30 rounds."""
+    return jnp.moveaxis(HP.permute_all_states(state), 0, 1)
+
+
+def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int):
+    const_idx = np.array([t for v, t in sorted(b._const_map.items(),
+                                               key=lambda kv: kv[1])],
+                         dtype=np.int64)
+    const_vals = np.array([v for v, t in sorted(b._const_map.items(),
+                                                key=lambda kv: kv[1])],
+                          dtype=np.uint64)
+    ops = list(b._ops)
+
+    def fn(w: jnp.ndarray) -> jnp.ndarray:
+        w = w.at[const_idx].set(jnp.asarray(const_vals))
+        w = w.at[zero_slot].set(jnp.uint64(0))
+        for op in ops:
+            d = op.data
+            if op.kind == "arith":
+                va, vb, vc = w[d["a"]], w[d["b"]], w[d["c"]]
+                k0 = jnp.uint64(d["k0"])
+                k1 = jnp.uint64(d["k1"])
+                res = gl.add(gl.mul(k0, gl.mul(va, vb)), gl.mul(k1, vc))
+                w = w.at[d["out"]].set(res)
+            elif op.kind == "split":
+                x = w[d["x"]]
+                nbits = d["bits"].shape[1]
+                shifts = np.arange(nbits)
+                cl = np.minimum(shifts, 63).astype(np.uint64)
+                extra = (shifts - cl.astype(np.int64)).astype(np.uint64)
+                bits = ((x[:, None] >> cl[None, :]) >> extra[None, :]) \
+                    & jnp.uint64(1)
+                w = w.at[d["bits"]].set(bits)
+            elif op.kind == "lesum":
+                bits_v = w[d["bits"]]
+                nbits = d["bits"].shape[1]
+                pows = np.array([pow(2, i, gl.P) for i in range(nbits)],
+                                dtype=np.uint64)
+                acc = jnp.zeros(bits_v.shape[0], jnp.uint64)
+                for i in range(nbits):
+                    acc = gl.add(acc, gl.mul(bits_v[:, i], jnp.uint64(pows[i])))
+                w = w.at[d["out"]].set(acc)
+            elif op.kind == "poseidon":
+                states = _poseidon_all_states(w[d["inp"]])
+                w = w.at[d["states"]].set(states)
+            elif op.kind == "copy":
+                w = w.at[d["dst"]].set(w[d["src"]])
+            elif op.kind == "eq":
+                diff = gl.sub(w[d["a"]], w[d["b"]])
+                iszero = diff == 0
+                out = jnp.where(iszero, jnp.uint64(1), jnp.uint64(0))
+                m = jnp.where(iszero, jnp.uint64(0), gl.inv(diff))
+                w = w.at[d["out"]].set(out)
+                w = w.at[d["m"]].set(m)
+            else:
+                raise ValueError(op.kind)
+        return w
+
+    return jax.jit(fn)
+
+
+class PartialWitness:
+    """Target -> value assignment (plonky2 ``PartialWitness`` equivalent)."""
+
+    def __init__(self):
+        self._idx: list = []
+        self._val: list = []
+
+    def set_target(self, t: int, value: int) -> None:
+        self._idx.append(int(t))
+        self._val.append(int(value) % gl.P)
+
+    def set_target_arr(self, ts, values) -> None:
+        ts = np.asarray(ts, dtype=np.int64).ravel()
+        vals = np.asarray(values, dtype=np.uint64).ravel()
+        assert ts.size == vals.size
+        self._idx.extend(ts.tolist())
+        self._val.extend(int(v) for v in vals)
+
+    def set_bool_target(self, t: int, value: bool) -> None:
+        self.set_target(t, 1 if value else 0)
+
+    def initial_vector(self, data: CircuitData) -> np.ndarray:
+        w = np.zeros(data.num_targets + 1, dtype=np.uint64)
+        if self._idx:
+            w[np.array(self._idx, dtype=np.int64)] = np.array(
+                self._val, dtype=np.uint64)
+        return w

@@ -149,9 +149,30 @@ def pow_const(a: jnp.ndarray, e: int) -> jnp.ndarray:
     return result
 
 
+def pow_const_loop(a: jnp.ndarray, e: int) -> jnp.ndarray:
+    """a ** e via a fori_loop square-and-multiply (MSB first).
+
+    Same work as :func:`pow_const` but the jit graph is ONE small loop
+    body — XLA's optimizer degrades catastrophically on the 127-deep
+    unrolled multiply chain of a^(q-2) when it is fused with surrounding
+    ops, so any big-exponent pow inside a larger jit must use this.
+    """
+    e = int(e)
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+                 dtype=np.uint64))
+
+    def body(i, acc):
+        acc = mul(acc, acc)
+        return jnp.where(bits[i] == 1, mul(acc, a), acc)
+
+    return jax.lax.fori_loop(0, nbits, body, jnp.ones_like(a))
+
+
 def inv(a: jnp.ndarray) -> jnp.ndarray:
     """Multiplicative inverse via Fermat: a^(q-2). inv(0) returns 0."""
-    return pow_const(a, P - 2)
+    return pow_const_loop(a, P - 2)
 
 
 def batch_inv(a: jnp.ndarray) -> jnp.ndarray:

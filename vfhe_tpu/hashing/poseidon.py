@@ -53,26 +53,49 @@ def _mds(state: jnp.ndarray) -> jnp.ndarray:
     return gl._reduce128(hi64 + carry, lo64)
 
 
+def _full_phase(state: jnp.ndarray, rcs: jnp.ndarray):
+    def body(s, rc):
+        out = _mds(_sbox(gl.add(s, rc)))
+        return out, out
+
+    return jax.lax.scan(body, state, rcs)
+
+
+def _partial_phase(state: jnp.ndarray, rcs: jnp.ndarray):
+    def body(s, rc):
+        s = gl.add(s, rc)
+        s = s.at[..., 0].set(_sbox(s[..., 0]))
+        out = _mds(s)
+        return out, out
+
+    return jax.lax.scan(body, state, rcs)
+
+
 def permute(state: jnp.ndarray) -> jnp.ndarray:
-    """The Poseidon permutation on (..., 12) states."""
+    """The Poseidon permutation on (..., 12) states.
+
+    Rounds run under lax.scan so a permutation contributes a small, shared
+    subgraph to any enclosing jit (compile-time matters: sponges inline
+    many permutations)."""
     rc = jnp.asarray(C.all_round_constants())  # (30, 12)
-    r = 0
-    for _ in range(C.HALF_FULL_ROUNDS):
-        state = gl.add(state, rc[r])
-        state = _sbox(state)
-        state = _mds(state)
-        r += 1
-    for _ in range(C.N_PARTIAL_ROUNDS):
-        state = gl.add(state, rc[r])
-        state = state.at[..., 0].set(_sbox(state[..., 0]))
-        state = _mds(state)
-        r += 1
-    for _ in range(C.HALF_FULL_ROUNDS):
-        state = gl.add(state, rc[r])
-        state = _sbox(state)
-        state = _mds(state)
-        r += 1
+    f = C.HALF_FULL_ROUNDS
+    p = C.N_PARTIAL_ROUNDS
+    state, _ = _full_phase(state, rc[:f])
+    state, _ = _partial_phase(state, rc[f:f + p])
+    state, _ = _full_phase(state, rc[f + p:])
     return state
+
+
+def permute_all_states(state: jnp.ndarray) -> jnp.ndarray:
+    """(..., 12) -> (30, ..., 12): the state after every round (the
+    witness layout the Poseidon gates expose)."""
+    rc = jnp.asarray(C.all_round_constants())
+    f = C.HALF_FULL_ROUNDS
+    p = C.N_PARTIAL_ROUNDS
+    state, s1 = _full_phase(state, rc[:f])
+    state, s2 = _partial_phase(state, rc[f:f + p])
+    state, s3 = _full_phase(state, rc[f + p:])
+    return jnp.concatenate([s1, s2, s3], axis=0)
 
 
 permute_jit = jax.jit(permute)
@@ -128,3 +151,54 @@ def hash_chain(init: jnp.ndarray, blocks: jnp.ndarray) -> jnp.ndarray:
 
 def zero_digest() -> jnp.ndarray:
     return jnp.zeros(HASH_OUT_ELTS, jnp.uint64)
+
+
+# ---------------------------------------------------------------------------
+# host-side (python int) mirror — used by the verifier / challenger where
+# scalar work dominates and per-shape jit compiles would be pure overhead
+# ---------------------------------------------------------------------------
+
+def permute_host(state):
+    """Poseidon permutation on a 12-list of python ints."""
+    p = gl.P
+    rc = C.all_round_constants()
+    mds = C.mds_matrix()
+    state = list(state)
+
+    def mds_layer(s):
+        return [sum(int(mds[i, j]) * s[j] for j in range(12)) % p
+                for i in range(12)]
+
+    r = 0
+    for _ in range(C.HALF_FULL_ROUNDS):
+        state = [pow((s + int(rc[r][i])) % p, 7, p)
+                 for i, s in enumerate(state)]
+        state = mds_layer(state)
+        r += 1
+    for _ in range(C.N_PARTIAL_ROUNDS):
+        state = [(s + int(rc[r][i])) % p for i, s in enumerate(state)]
+        state[0] = pow(state[0], 7, p)
+        state = mds_layer(state)
+        r += 1
+    for _ in range(C.HALF_FULL_ROUNDS):
+        state = [pow((s + int(rc[r][i])) % p, 7, p)
+                 for i, s in enumerate(state)]
+        state = mds_layer(state)
+        r += 1
+    return state
+
+
+def hash_no_pad_host(inputs) -> list:
+    """Host mirror of :func:`hash_no_pad` -> 4-list of ints."""
+    vals = [int(x) for x in inputs]
+    state = [0] * C.WIDTH
+    for start in range(0, len(vals), C.RATE):
+        chunk = vals[start:start + C.RATE]
+        state[:len(chunk)] = chunk
+        state = permute_host(state)
+    return state[:HASH_OUT_ELTS]
+
+
+def two_to_one_host(left, right) -> list:
+    state = [int(x) for x in left] + [int(x) for x in right] + [0, 0, 0, 0]
+    return permute_host(state)[:HASH_OUT_ELTS]

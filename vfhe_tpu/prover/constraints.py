@@ -1,0 +1,225 @@
+"""Gate constraint evaluators, generic over the evaluation field.
+
+Each gate kind (circuit/builder.py) yields a list of constraint values
+that must vanish on rows where its selector is 1. The same evaluator code
+runs in two modes:
+
+* prover: values are (n_points,) base-field columns over the LDE coset —
+  one vectorized pass evaluates every constraint on every point;
+* verifier: values are (2,) quadratic-extension elements at zeta.
+
+This mirrors plonky2's Gate::eval_unfiltered / eval_filtered split
+without the trait machinery: an ``ops`` namespace provides the field.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..field import extension as ee
+from ..hashing import constants as HC
+from ..circuit.builder import (NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C,
+                               CONST, PI, ARITH_LANES, POS_CHUNK)
+
+
+class BaseOps:
+    """Vectorized base-field ops on (n,) uint64 arrays."""
+    add = staticmethod(gl.add)
+    sub = staticmethod(gl.sub)
+    mul = staticmethod(gl.mul)
+
+    @staticmethod
+    def mul_int(x, c: int):
+        return gl.mul(x, jnp.uint64(c % gl.P))
+
+    @staticmethod
+    def add_int(x, c: int):
+        return gl.add(x, jnp.uint64(c % gl.P))
+
+    @staticmethod
+    def one_minus(x):
+        return gl.sub(jnp.uint64(1), x)
+
+
+class ExtOps:
+    """Quadratic-extension ops on (..., 2) arrays."""
+    add = staticmethod(ee.add)
+    sub = staticmethod(ee.sub)
+    mul = staticmethod(ee.mul)
+
+    @staticmethod
+    def mul_int(x, c: int):
+        return gl.mul(x, jnp.uint64(c % gl.P))  # scalar mult both coords
+
+    @staticmethod
+    def add_int(x, c: int):
+        return x.at[..., 0].set(gl.add(x[..., 0], jnp.uint64(c % gl.P)))
+
+    @staticmethod
+    def one_minus(x):
+        out = ee.neg(x)
+        return out.at[..., 0].set(gl.add(out[..., 0], jnp.uint64(1)))
+
+
+def _sbox(F, x):
+    x2 = F.mul(x, x)
+    x4 = F.mul(x2, x2)
+    return F.mul(F.mul(x4, x2), x)
+
+
+def _poseidon_round(F, state, r: int):
+    """One Poseidon round (constants first, sbox, MDS) in constraint form."""
+    rc = HC.all_round_constants()[r]
+    mds = HC.mds_matrix()
+    state = [F.add_int(s, int(rc[i])) for i, s in enumerate(state)]
+    full = (r < HC.HALF_FULL_ROUNDS or
+            r >= HC.HALF_FULL_ROUNDS + HC.N_PARTIAL_ROUNDS)
+    if full:
+        state = [_sbox(F, s) for s in state]
+    else:
+        state = [_sbox(F, state[0])] + state[1:]
+    out = []
+    for i in range(HC.WIDTH):
+        acc = F.mul_int(state[0], int(mds[i, 0]))
+        for j in range(1, HC.WIDTH):
+            acc = F.add(acc, F.mul_int(state[j], int(mds[i, j])))
+        out.append(acc)
+    return out
+
+
+def eval_gate(gate, F, wires, consts, pi_hash) -> list:
+    """Constraints for one gate kind.
+
+    wires: list of num_wires column values; consts: list of constant-column
+    values; pi_hash: list of 4 values (only used by the PI gate).
+    """
+    kind = gate.kind
+    cs = []
+    if kind == ARITH:
+        k0, k1 = consts[0], consts[1]
+        for l in range(ARITH_LANES):
+            a, b, c, out = (wires[4 * l + i] for i in range(4))
+            val = F.add(F.mul(k0, F.mul(a, b)), F.mul(k1, c))
+            cs.append(F.sub(val, out))
+    elif kind == BASESUM:
+        nbits = gate.param
+        s = wires[0]
+        acc = None
+        for i in range(nbits):
+            b = wires[1 + i]
+            cs.append(F.mul(b, F.sub(b, _one(F, b))))
+            term = F.mul_int(b, pow(2, i, gl.P))
+            acc = term if acc is None else F.add(acc, term)
+        cs.append(F.sub(acc, s))
+    elif kind in (POS_A, POS_B, POS_C):
+        offset = {POS_A: 0, POS_B: POS_CHUNK, POS_C: 2 * POS_CHUNK}[kind]
+        state = [wires[i] for i in range(12)]
+        boundary = [wires[12 + i] for i in range(12)]
+        for step in range(POS_CHUNK):
+            out = _poseidon_round(F, state, offset + step)
+            if step < POS_CHUNK - 1:
+                nxt = [wires[24 + 12 * step + i] for i in range(12)]
+            else:
+                nxt = boundary
+            cs.extend(F.sub(out[i], nxt[i]) for i in range(12))
+            state = nxt
+    elif kind == CONST:
+        for j in range(4):
+            cs.append(F.sub(wires[j], consts[j]))
+    elif kind == PI:
+        for j in range(4):
+            cs.append(F.sub(wires[j], pi_hash[j]))
+    else:
+        raise ValueError(kind)
+    return cs
+
+
+def _one(F, like):
+    if F is BaseOps:
+        return jnp.ones_like(like)
+    if isinstance(like, tuple):
+        return (1, 0)
+    out = jnp.zeros_like(like)
+    return out.at[..., 0].set(1)
+
+
+def eval_gate_stacked(gate, wire_lde: jnp.ndarray, const_lde: jnp.ndarray,
+                      pi_hash: jnp.ndarray) -> jnp.ndarray:
+    """Prover-side evaluator: all of a gate's constraints as ONE
+    (num_constraints, n) tensor over the LDE coset. Must produce the same
+    values in the same ORDER as eval_gate (the verifier's scalar path).
+    """
+    kind = gate.kind
+    n = wire_lde.shape[1]
+    if kind == ARITH:
+        idx = np.arange(ARITH_LANES) * 4
+        a = wire_lde[idx]
+        b = wire_lde[idx + 1]
+        c = wire_lde[idx + 2]
+        out = wire_lde[idx + 3]
+        k0 = const_lde[0][None, :]
+        k1 = const_lde[1][None, :]
+        return gl.sub(gl.add(gl.mul(k0, gl.mul(a, b)), gl.mul(k1, c)), out)
+    if kind == BASESUM:
+        nb = gate.param
+        s = wire_lde[0]
+        bits = wire_lde[1:1 + nb]                      # (nb, n)
+        bools = gl.mul(bits, gl.sub(bits, jnp.uint64(1)))
+        pows = np.array([pow(2, i, gl.P) for i in range(nb)], dtype=np.uint64)
+        weighted = gl.mul(bits, jnp.asarray(pows)[:, None])
+
+        def body(carry, row):
+            return gl.add(carry, row), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((n,), jnp.uint64), weighted)
+        recomb = gl.sub(total, s)[None, :]
+        return jnp.concatenate([bools, recomb], axis=0)
+    if kind in (POS_A, POS_B, POS_C):
+        return _poseidon_stacked(kind, wire_lde)
+    if kind == CONST:
+        return gl.sub(wire_lde[0:4], const_lde[0:4])
+    if kind == PI:
+        return gl.sub(wire_lde[0:4], pi_hash[:, None])
+    raise ValueError(kind)
+
+
+def _poseidon_stacked(kind, wire_lde: jnp.ndarray) -> jnp.ndarray:
+    """Tensorized Poseidon gate constraints, order-matched to eval_gate."""
+    from ..hashing import poseidon as HPm
+    offset = {POS_A: 0, POS_B: POS_CHUNK, POS_C: 2 * POS_CHUNK}[kind]
+    rc = HC.all_round_constants()
+    state = jnp.transpose(wire_lde[0:12])          # (n, 12)
+    boundary = jnp.transpose(wire_lde[12:24])
+    inter = jnp.transpose(wire_lde[24:132]).reshape(-1, 9, 12)
+    cs = []
+    for step in range(POS_CHUNK):
+        r = offset + step
+        s = gl.add(state, jnp.asarray(rc[r]))
+        full = (r < HC.HALF_FULL_ROUNDS or
+                r >= HC.HALF_FULL_ROUNDS + HC.N_PARTIAL_ROUNDS)
+        if full:
+            s = HPm._sbox(s)
+        else:
+            s = s.at[:, 0].set(HPm._sbox(s[:, 0]))
+        out = HPm._mds(s)
+        nxt = inter[:, step, :] if step < POS_CHUNK - 1 else boundary
+        cs.append(jnp.transpose(gl.sub(out, nxt)))  # (12, n)
+        state = nxt
+    return jnp.concatenate(cs, axis=0)
+
+
+def num_gate_constraints(gates) -> int:
+    n = 0
+    for g in gates:
+        if g.kind == ARITH:
+            n += ARITH_LANES
+        elif g.kind == BASESUM:
+            n += g.param + 1
+        elif g.kind in (POS_A, POS_B, POS_C):
+            n += 12 * POS_CHUNK
+        elif g.kind in (CONST, PI):
+            n += 4
+    return n

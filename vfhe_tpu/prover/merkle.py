@@ -1,0 +1,69 @@
+"""Poseidon Merkle trees with caps, batched level-wise.
+
+Rebuild of plonky2's ``MerkleTree``/``MerkleCap`` (the commitment layer
+under every FRI oracle the reference's prover uses). TPU-first: leaf
+hashing is ONE batched sponge over the (L, row_width) leaf matrix, and
+each tree level is one batched two_to_one compression — level-wise
+reduction as in SURVEY.md section 5's scaling notes.
+
+A tree over L leaves stops at 2^cap_height digests (the "cap"), which is
+what gets observed by the challenger / checked by the verifier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hashing import poseidon as H
+
+
+@dataclass
+class MerkleTree:
+    leaf_data: jnp.ndarray        # (L, W) field elements
+    levels: list                  # levels[0] = leaf digests (L, 4), ... cap last
+    cap_height: int
+
+    @property
+    def cap(self) -> jnp.ndarray:
+        return self.levels[-1]
+
+
+def build(leaf_data: jnp.ndarray, cap_height: int = 4) -> MerkleTree:
+    leaves = jnp.asarray(leaf_data, jnp.uint64)
+    n = leaves.shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    cap_height = min(cap_height, int(np.log2(n)))
+    digests = H.hash_no_pad_jit(leaves)
+    levels = [digests]
+    while levels[-1].shape[0] > (1 << cap_height):
+        cur = levels[-1]
+        levels.append(H.two_to_one_jit(cur[0::2], cur[1::2]))
+    return MerkleTree(leaf_data=leaves, levels=levels, cap_height=cap_height)
+
+
+def open_path(tree: MerkleTree, index: int):
+    """(leaf_row, siblings) where siblings has one digest per level below
+    the cap."""
+    sibs = []
+    idx = index
+    for level in tree.levels[:-1]:
+        sibs.append(np.asarray(level[idx ^ 1]))
+        idx >>= 1
+    return np.asarray(tree.leaf_data[index]), sibs
+
+
+def verify_path(leaf_row, index: int, siblings, cap) -> bool:
+    """Host-side path check against the cap (used by the proof verifier;
+    python-int Poseidon — scalar work, no device round-trips)."""
+    digest = H.hash_no_pad_host(np.asarray(leaf_row, dtype=np.uint64))
+    idx = index
+    for sib in siblings:
+        sib = [int(x) for x in sib]
+        l, r = (sib, digest) if idx & 1 else (digest, sib)
+        digest = H.two_to_one_host(l, r)
+        idx >>= 1
+    return [int(x) for x in np.asarray(cap[idx])] == digest
