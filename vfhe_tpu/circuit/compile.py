@@ -48,6 +48,13 @@ class CircuitData:
     def degree_bits(self) -> int:
         return self.h.bit_length() - 1
 
+    def eval_witness(self, pw) -> np.ndarray:
+        """Run witness generation only (no proof) and return the full
+        target-value vector — the gadget-level test/debug fast path."""
+        import jax.numpy as jnp
+        return np.asarray(self.witness_fn(jnp.asarray(
+            pw.initial_vector(self))))
+
 
 def _pad_rows(mat: np.ndarray, width: int, fill) -> np.ndarray:
     if mat.shape[1] == width:
