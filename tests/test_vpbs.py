@@ -1,0 +1,72 @@
+"""Full vPBS test: prove + verify + decrypt-check a complete PBS chain
+(ref: test_ivc_blind_rot, ivc_based_vpbs.rs:541-579, with n=1 at N=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vfhe_tpu.field import goldilocks as gl
+from vfhe_tpu.crypto import (poly as cpoly, lwe as clwe, glwe as cglwe,
+                             ggsw as cggsw, compute_bsk)
+from vfhe_tpu.circuit import TEST_CONFIG
+from vfhe_tpu.ivc import TEST_PARAMS, verified_pbs, verify_pbs
+
+KEY = jax.random.PRNGKey(2024)
+
+
+def check_rotation(in_poly, out_poly, mask_element):
+    """Oracle: the output must be the input negacyclically rotated by the
+    mod-switched mask (ref: check_rotation, ivc_based_vpbs.rs:507-539)."""
+    shift = int(clwe.mod_switch_element(jnp.uint64(mask_element),
+                                        in_poly.shape[-1]))
+    want = np.asarray(cpoly.right_shift(jnp.asarray(in_poly), shift))
+    assert (np.asarray(out_poly) == want).all()
+
+
+@pytest.mark.slow
+def test_full_vpbs_chain():
+    p = TEST_PARAMS  # n=1, N=8, K=2, ELL=8, LOGB=8
+    k1, k2, k3, k4, k5 = jax.random.split(KEY, 5)
+
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    m = 3
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(delta, m), 0.0)
+
+    out_ct, proofs, sc = verified_pbs(
+        ct, testv, bsk, ksk, p, config=TEST_CONFIG,
+        debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to)
+
+    verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc)
+
+    m_out = cglwe.decrypt(out_ct, s_to)
+    neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
+    check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)
+
+
+@pytest.mark.slow
+def test_vpbs_tamper_rejected():
+    """Swapping a bsk entry must break the bsk hash chain check."""
+    p = TEST_PARAMS
+    k1, k2, k3, k4, k5, k6 = jax.random.split(KEY, 6)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(gl.P >> 4, 1), 0.0)
+
+    out_ct, proofs, sc = verified_pbs(ct, testv, bsk, ksk, p,
+                                      config=TEST_CONFIG)
+    bad_bsk = np.asarray(bsk).copy()
+    bad_bsk[0, 0, 0, 0, 0] += 1
+    with pytest.raises(AssertionError):
+        verify_pbs(out_ct, ct, testv, jnp.asarray(bad_bsk), ksk, proofs, sc)

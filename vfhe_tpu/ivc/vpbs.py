@@ -1,0 +1,326 @@
+"""Verifiable PBS: the universal step circuit + chained proving loop +
+verifier (ref: src/vtfhe/ivc_based_vpbs.rs).
+
+The reference chains the n+2 step proofs with plonky2 cyclic recursion:
+each step circuit verifies the previous proof in-circuit, so the final
+proof is O(1) (ivc_based_vpbs.rs:159-386). ROUND-1 STATUS of this
+rebuild: the step circuit, hash-chain binding and the proving loop are
+complete, but recursion is replaced by **explicit chaining** — every
+step exposes its inputs (acc_in, hash-chain inputs) as public inputs and
+the verifier checks linkage plus every step proof. Same statement is
+enforced; the verifier is O(n) proofs instead of O(1). In-circuit FRI
+verification (SURVEY.md section 7, stage 7 — "hardest part") is the
+planned upgrade; the PI layout below already mirrors the recursion-ready
+shape (acc_init | counter | latest_acc | bsk_hash | lwe_hash | chain-in
+fields), so the step circuit is unchanged when recursion lands.
+
+One PBS = n+2 proofs of ONE universal circuit (built & preprocessed
+once, cached): n blind-rotation CMUX steps, a first body-rotation step,
+and a final key-switch step done as a GGSW external product with the
+ksk (ivc_based_vpbs.rs:356-371 — the LevCt route exists as a gadget but
+is unused here, matching the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..crypto import poly as cpoly, lwe as clwe, glwe as cglwe, ggsw as cggsw
+from ..circuit import CircuitBuilder, CircuitConfig, PartialWitness, \
+    STANDARD_CONFIG
+from ..gadgets import GlweCt, GgswCt, glwe_select, rotate_glwe
+from ..hashing import poseidon as HP
+from ..prover import prove, preprocess, verify
+from ..utils.timing import TimingTree
+
+log = logging.getLogger("vfhe_tpu")
+
+
+@dataclass(frozen=True)
+class VpbsParams:
+    """The reference's const-generic parameter set as a config object
+    (ref: main.rs:22-30 for the paper values)."""
+    n: int = 728          # LWE dimension
+    N: int = 1024         # ring dimension
+    K: int = 2            # GLWE size (k + 1)
+    ELL: int = 4          # gadget length
+    LOGB: int = 5         # gadget base bits
+    p: int = 2            # plaintext modulus
+
+    @property
+    def num_steps(self) -> int:
+        return self.n + 2
+
+
+TEST_PARAMS = VpbsParams(n=1, N=8, K=2, ELL=8, LOGB=8, p=2)
+
+
+@dataclass
+class StepLayout:
+    """Public-input index ranges of the step circuit (the reference
+    computes the same ranges at ivc_based_vpbs.rs:196-207, 409-419)."""
+    acc_init: tuple
+    counter: int
+    latest_acc: tuple
+    bsk_hash_out: tuple
+    lwe_hash_out: tuple
+    acc_in: tuple
+    bsk_hash_in: tuple
+    lwe_hash_in: tuple
+
+    @classmethod
+    def make(cls, params: VpbsParams) -> "StepLayout":
+        kn = params.K * params.N
+        i = 0
+
+        def take(sz):
+            nonlocal i
+            r = (i, i + sz)
+            i += sz
+            return r
+
+        acc_init = take(kn)
+        counter = take(1)[0]
+        latest_acc = take(kn)
+        bsk_hash_out = take(4)
+        lwe_hash_out = take(4)
+        acc_in = take(kn)
+        bsk_hash_in = take(4)
+        lwe_hash_in = take(4)
+        return cls(acc_init, counter, latest_acc, bsk_hash_out, lwe_hash_out,
+                   acc_in, bsk_hash_in, lwe_hash_in)
+
+
+@dataclass
+class StepCircuit:
+    data: object
+    layout: StepLayout
+    params: VpbsParams
+    # witness targets
+    t_acc_init: object
+    t_ggsw: object
+    t_acc_in: object
+    t_counter: int
+    t_mask: int
+    t_bsk_hash_in: np.ndarray
+    t_lwe_hash_in: np.ndarray
+
+
+def build_step_circuit(b: CircuitBuilder, params: VpbsParams):
+    """The universal step circuit (ref: ivc_based_vpbs.rs:80-157)."""
+    p = params
+    acc_init = GlweCt.new_from_builder(b, p.N, p.K)
+    ggsw = GgswCt.new_from_builder(b, p.N, p.K, p.ELL)
+    acc_init.register(b)
+    current_acc_in = GlweCt.new_from_builder(b, p.N, p.K)
+    counter = b.add_virtual_public_input()
+    first_step = b.is_equal(counter, b.one())
+    last_step = b.is_equal(counter, b.constant(p.n + 2))
+
+    # first step: the mask element is actually the body, negate it
+    mask_element = b.add_virtual_target()
+    neg_mask = b.neg(mask_element)
+    first_negated_mask = b.select(first_step, neg_mask, mask_element)
+
+    shifted_glwe = rotate_glwe(b, current_acc_in, first_negated_mask)
+    diff_glwe = shifted_glwe.sub(b, current_acc_in)
+    xprod_in = glwe_select(b, last_step, current_acc_in, diff_glwe)
+    xprod_out = ggsw.external_product(b, xprod_in, p.LOGB)
+    cmux_out = xprod_out.add(b, current_acc_in)
+
+    # last step: plain external product (key switch), no cmux add
+    cmux_or_exprod = glwe_select(b, last_step, xprod_out, cmux_out)
+    # first step: only the rotation
+    current_acc_out = glwe_select(b, first_step, shifted_glwe, cmux_or_exprod)
+    current_acc_out.register(b)
+
+    bsk_hash_in = b.add_virtual_hash()
+    bsk_hash_out = b.hash_n_to_hash_no_pad(
+        np.concatenate([bsk_hash_in, ggsw.flatten()]))
+    lwe_hash_in = b.add_virtual_hash()
+    lwe_hash_out = b.hash_n_to_hash_no_pad(
+        np.concatenate([lwe_hash_in, [mask_element]]))
+    b.register_public_inputs(bsk_hash_out)
+    b.register_public_inputs(lwe_hash_out)
+
+    # chain-in fields exposed for out-of-circuit linkage (recursion-ready
+    # layout: these are what the in-circuit verifier will consume instead)
+    b.register_public_inputs(current_acc_in.flatten())
+    b.register_public_inputs(bsk_hash_in)
+    b.register_public_inputs(lwe_hash_in)
+
+    return (mask_element, acc_init, ggsw, current_acc_in, counter,
+            bsk_hash_in, lwe_hash_in)
+
+
+@functools.lru_cache(maxsize=4)
+def get_step_circuit(params: VpbsParams,
+                     config: CircuitConfig = STANDARD_CONFIG) -> StepCircuit:
+    b = CircuitBuilder(config)
+    (mask, acc_init, ggsw, acc_in, counter, bsk_in, lwe_in) = \
+        build_step_circuit(b, params)
+    data = b.build()
+    log.info("step circuit: %d rows used, h=%d, %d targets",
+             data.rows_used, data.h, data.num_targets)
+    return StepCircuit(data=data, layout=StepLayout.make(params),
+                       params=params, t_acc_init=acc_init, t_ggsw=ggsw,
+                       t_acc_in=acc_in, t_counter=counter, t_mask=mask,
+                       t_bsk_hash_in=bsk_in, t_lwe_hash_in=lwe_in)
+
+
+def _pis(proof, rng) -> np.ndarray:
+    return proof.public_inputs[rng[0]:rng[1]]
+
+
+def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
+                 config: CircuitConfig = STANDARD_CONFIG,
+                 debug_glwe_key=None, debug_lwe_key=None, debug_ksk_key=None):
+    """Prove one PBS as a chain of n+2 step proofs
+    (ref: ivc_based_vpbs.rs:159-386).
+
+    Returns (out_ct, proofs, step_circuit)."""
+    p = params
+    sc = get_step_circuit(p, config)
+    lay = sc.layout
+    ct = np.asarray(ct, dtype=np.uint64)
+    acc_init_vals = np.concatenate(
+        [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
+    dummy = np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL))
+
+    testv_check = jnp.asarray(testv)
+    ct_switched = np.asarray(clwe.mod_switch_ct(jnp.asarray(ct), p.N))
+
+    proofs = []
+    prev = None
+    for step in range(p.num_steps):
+        pw = PartialWitness()
+        sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
+        pw.set_target(sc.t_counter, step + 1)
+        if step == 0:
+            ggsw_vals, mask_val = dummy, int(ct[p.n])
+            acc_in_vals = acc_init_vals
+            hash_ins = (np.zeros(4, np.uint64), np.zeros(4, np.uint64))
+        elif step <= p.n:
+            ggsw_vals, mask_val = np.asarray(bsk[step - 1]), int(ct[step - 1])
+            acc_in_vals = _pis(prev, lay.latest_acc)
+            hash_ins = (_pis(prev, lay.bsk_hash_out),
+                        _pis(prev, lay.lwe_hash_out))
+        else:  # key switch
+            ggsw_vals, mask_val = np.asarray(ksk), 0
+            acc_in_vals = _pis(prev, lay.latest_acc)
+            hash_ins = (_pis(prev, lay.bsk_hash_out),
+                        _pis(prev, lay.lwe_hash_out))
+        sc.t_ggsw.assign(pw, ggsw_vals)
+        pw.set_target(sc.t_mask, mask_val)
+        sc.t_acc_in.assign(pw, np.asarray(acc_in_vals,
+                                          dtype=np.uint64).reshape(p.K, p.N))
+        pw.set_target_arr(sc.t_bsk_hash_in, hash_ins[0])
+        pw.set_target_arr(sc.t_lwe_hash_in, hash_ins[1])
+
+        tt = TimingTree(f"prove step {step}")
+        proof = prove(sc.data, pw, timing=tt)
+        tt.done()
+        proofs.append(proof)
+        prev = proof
+
+        # per-step noise telemetry (ref: ivc:314-321, 341-352)
+        if debug_glwe_key is not None:
+            if step == 0:
+                testv_check = cpoly.left_shift(testv_check,
+                                               int(ct_switched[p.n]))
+            elif step <= p.n:
+                sk = int(np.asarray(debug_lwe_key)[step - 1])
+                testv_check = cpoly.right_shift(
+                    testv_check, int(ct_switched[step - 1]) * sk)
+            acc = jnp.asarray(np.asarray(_pis(prev, lay.latest_acc),
+                                         dtype=np.uint64).reshape(p.K, p.N))
+            key = debug_ksk_key if step == p.n + 1 else debug_glwe_key
+            log.info("step %d avg error: %.3e  max error: %.3e", step,
+                     cglwe.get_avg_error(acc, key, testv_check),
+                     cglwe.get_max_error(acc, key, testv_check))
+
+    out = np.asarray(_pis(prev, lay.latest_acc),
+                     dtype=np.uint64).reshape(p.K, p.N)
+    return jnp.asarray(out), proofs, sc
+
+
+def verify_hash_output(hash_data, claimed) -> bool:
+    """Native recomputation of an absorb chain h = H(h || block)
+    (ref: ivc_based_vpbs.rs:64-78)."""
+    h = [0, 0, 0, 0]
+    for block in hash_data:
+        h = HP.hash_no_pad_host(list(h) + [int(x) for x in block])
+    return h == [int(x) for x in claimed]
+
+
+def verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc: StepCircuit) -> None:
+    """Verify a chained PBS proof (ref: ivc_based_vpbs.rs:388-489, plus
+    the linkage checks the reference does in-circuit)."""
+    p = sc.params
+    lay = sc.layout
+    ct = np.asarray(ct, dtype=np.uint64)
+    vk = preprocess(sc.data)["vk"]
+    assert len(proofs) == p.num_steps, "wrong number of step proofs"
+
+    tt = TimingTree("verify")
+    final = proofs[-1]
+
+    # claimed test vector: zero mask + testv coefficients (ivc:421-431)
+    claimed_testv = _pis(final, lay.acc_init)
+    assert (claimed_testv[:p.N * (p.K - 1)] == 0).all()
+    assert (claimed_testv[p.N * (p.K - 1):] ==
+            np.asarray(testv, dtype=np.uint64)).all()
+    # counter (ivc:433-436)
+    assert int(final.public_inputs[lay.counter]) == p.num_steps
+    # claimed output (ivc:438-440)
+    assert (np.asarray(out_ct, dtype=np.uint64).reshape(-1) ==
+            _pis(final, lay.latest_acc)).all()
+
+    with tt.scope("verifying step proofs"):
+        for i, proof in enumerate(proofs):
+            verify(vk, proof)
+
+    with tt.scope("verifying chain linkage"):
+        for i, proof in enumerate(proofs):
+            assert int(proof.public_inputs[lay.counter]) == i + 1
+            assert (_pis(proof, lay.acc_init) == claimed_testv).all()
+            if i == 0:
+                assert (_pis(proof, lay.acc_in) == claimed_testv).all()
+                assert (_pis(proof, lay.bsk_hash_in) == 0).all()
+                assert (_pis(proof, lay.lwe_hash_in) == 0).all()
+            else:
+                prev = proofs[i - 1]
+                assert (_pis(proof, lay.acc_in) ==
+                        _pis(prev, lay.latest_acc)).all()
+                assert (_pis(proof, lay.bsk_hash_in) ==
+                        _pis(prev, lay.bsk_hash_out)).all()
+                assert (_pis(proof, lay.lwe_hash_in) ==
+                        _pis(prev, lay.lwe_hash_out)).all()
+
+    # hash chains bind the bsk / ksk and the LWE ciphertext (ivc:459-481)
+    bsk_data = [np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL)).reshape(-1)]
+    lwe_data = [[int(ct[p.n])]]
+    for i in range(p.n):
+        bsk_data.append(np.asarray(bsk[i]).reshape(-1))
+        lwe_data.append([int(ct[i])])
+    bsk_data.append(np.asarray(ksk).reshape(-1))
+    lwe_data.append([0])
+
+    # bsk chain assumed precomputable; lwe chain timed (ivc:473-481)
+    assert verify_hash_output(bsk_data, _pis(final, lay.bsk_hash_out)), \
+        "bsk hash chain mismatch"
+    with tt.scope("verifying lwe hash chain"):
+        assert verify_hash_output(lwe_data, _pis(final, lay.lwe_hash_out)), \
+            "lwe hash chain mismatch"
+    tt.done()
+
+    log.info("number of steps: %d", p.num_steps)
+    log.info("proof size: %d bytes (x %d steps)",
+             proofs[-1].num_bytes(), len(proofs))
