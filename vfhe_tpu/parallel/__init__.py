@@ -1,0 +1,5 @@
+from .mesh import make_mesh, dp_sharding, col_sharding, replicated
+from .batched import make_step_core, make_batched_step_core, sharded_ntt
+
+__all__ = ["make_mesh", "dp_sharding", "col_sharding", "replicated",
+           "make_step_core", "make_batched_step_core", "sharded_ntt"]
