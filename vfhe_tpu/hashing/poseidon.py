@@ -158,8 +158,18 @@ def zero_digest() -> jnp.ndarray:
 # scalar work dominates and per-shape jit compiles would be pure overhead
 # ---------------------------------------------------------------------------
 
+def _native():
+    # lazy to avoid the hashing<->runtime import cycle
+    from .. import runtime
+    return runtime if runtime.lib is not None else None
+
+
 def permute_host(state):
-    """Poseidon permutation on a 12-list of python ints."""
+    """Poseidon permutation on a 12-list of python ints (C++ when the
+    native runtime is available)."""
+    rt = _native()
+    if rt is not None:
+        return [int(x) for x in rt.permute(state)]
     p = gl.P
     rc = C.all_round_constants()
     mds = C.mds_matrix()
@@ -190,6 +200,11 @@ def permute_host(state):
 
 def hash_no_pad_host(inputs) -> list:
     """Host mirror of :func:`hash_no_pad` -> 4-list of ints."""
+    rt = _native()
+    if rt is not None:
+        import numpy as _np
+        return [int(x) for x in rt.hash_no_pad(
+            _np.array([int(v) for v in inputs], dtype=_np.uint64))]
     vals = [int(x) for x in inputs]
     state = [0] * C.WIDTH
     for start in range(0, len(vals), C.RATE):

@@ -253,7 +253,16 @@ def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
 
 def verify_hash_output(hash_data, claimed) -> bool:
     """Native recomputation of an absorb chain h = H(h || block)
-    (ref: ivc_based_vpbs.rs:64-78)."""
+    (ref: ivc_based_vpbs.rs:64-78). Uses the C++ host runtime when blocks
+    are uniform (the bsk chain is ~n x K^2*N*ELL elements at paper
+    params — strictly sequential scalar work)."""
+    from .. import runtime
+    lens = {len(b) for b in hash_data}
+    if runtime.lib is not None and len(lens) == 1:
+        blocks = np.asarray([[int(x) for x in b] for b in hash_data],
+                            dtype=np.uint64)
+        h = runtime.hash_chain(blocks)
+        return [int(x) for x in h] == [int(x) for x in claimed]
     h = [0, 0, 0, 0]
     for block in hash_data:
         h = HP.hash_no_pad_host(list(h) + [int(x) for x in block])

@@ -58,7 +58,14 @@ def open_path(tree: MerkleTree, index: int):
 
 def verify_path(leaf_row, index: int, siblings, cap) -> bool:
     """Host-side path check against the cap (used by the proof verifier;
-    python-int Poseidon — scalar work, no device round-trips)."""
+    native/python-int Poseidon — scalar work, no device round-trips)."""
+    from .. import runtime
+    if runtime.lib is not None and len(siblings):
+        digest = runtime.merkle_path_digest(
+            np.asarray(leaf_row, dtype=np.uint64),
+            np.asarray(siblings, dtype=np.uint64), index)
+        idx = index >> len(siblings)
+        return (np.asarray(cap[idx], dtype=np.uint64) == digest).all()
     digest = H.hash_no_pad_host(np.asarray(leaf_row, dtype=np.uint64))
     idx = index
     for sib in siblings:

@@ -1,0 +1,102 @@
+"""Native host runtime bindings (C++ via ctypes, python fallback).
+
+Builds host_crypto.cc on first import (cached .so next to the source) and
+exposes the scalar Poseidon/Merkle kernels the verifier's hot host paths
+need. If the toolchain is unavailable, ``lib`` is None and callers fall
+back to the pure-python implementations in vfhe_tpu.hashing.poseidon.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+log = logging.getLogger("vfhe_tpu")
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host_crypto.cc")
+_SO = os.path.join(_DIR, "host_crypto.so")
+
+lib = None
+
+
+def _build() -> str | None:
+    if (os.path.exists(_SO) and
+            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+           "-o", _SO + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return _SO
+    except Exception as e:  # no toolchain / sandbox: fall back to python
+        log.warning("native host runtime unavailable (%s); python fallback",
+                    e)
+        return None
+
+
+def _load():
+    global lib
+    so = _build()
+    if so is None:
+        return
+    L = ctypes.CDLL(so)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    L.set_poseidon_constants.argtypes = [u64p, u64p]
+    L.poseidon_permute.argtypes = [u64p]
+    L.hash_no_pad.argtypes = [u64p, ctypes.c_uint64, u64p]
+    L.hash_chain.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64, u64p]
+    L.two_to_one.argtypes = [u64p, u64p, u64p]
+    L.merkle_path_digest.argtypes = [u64p, ctypes.c_uint64, u64p,
+                                     ctypes.c_uint64, ctypes.c_uint64, u64p]
+
+    from ..hashing import constants as HC
+    rc = np.ascontiguousarray(HC.all_round_constants(), dtype=np.uint64)
+    mds = np.ascontiguousarray(HC.mds_matrix(), dtype=np.uint64)
+    L.set_poseidon_constants(rc.ctypes.data_as(u64p),
+                             mds.ctypes.data_as(u64p))
+    lib = L
+
+
+def _ptr(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def hash_no_pad(values) -> np.ndarray:
+    vals = np.ascontiguousarray(values, dtype=np.uint64).ravel()
+    out = np.zeros(4, dtype=np.uint64)
+    lib.hash_no_pad(_ptr(vals), len(vals), _ptr(out))
+    return out
+
+
+def hash_chain(blocks: np.ndarray, init=None) -> np.ndarray:
+    """blocks: (n_blocks, block_len) -> final 4-element digest."""
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint64)
+    state = np.zeros(4, dtype=np.uint64) if init is None else \
+        np.ascontiguousarray(init, dtype=np.uint64).copy()
+    lib.hash_chain(_ptr(blocks), blocks.shape[0], blocks.shape[1],
+                   _ptr(state))
+    return state
+
+
+def merkle_path_digest(leaf, siblings, index: int) -> np.ndarray:
+    leaf = np.ascontiguousarray(leaf, dtype=np.uint64).ravel()
+    sibs = np.ascontiguousarray(siblings, dtype=np.uint64).reshape(-1, 4)
+    out = np.zeros(4, dtype=np.uint64)
+    lib.merkle_path_digest(_ptr(leaf), len(leaf), _ptr(sibs), sibs.shape[0],
+                           index, _ptr(out))
+    return out
+
+
+def permute(state) -> np.ndarray:
+    s = np.ascontiguousarray(state, dtype=np.uint64).copy()
+    lib.poseidon_permute(_ptr(s))
+    return s
+
+
+_load()

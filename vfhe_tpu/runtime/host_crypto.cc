@@ -1,0 +1,148 @@
+// Native host runtime: Goldilocks + Poseidon scalar kernels.
+//
+// The verifier's hash-chain recomputation (ref: verify_hash_output,
+// ivc_based_vpbs.rs:64-78) is a strictly sequential sponge over the whole
+// bootstrapping key — ~1.5M permutations at paper parameters. That path
+// (plus Merkle path checks and the Fiat-Shamir transcript) is scalar host
+// work the reference gets from native Rust/plonky2; this is its C++
+// equivalent, bound via ctypes with a pure-python fallback.
+//
+// Round constants / MDS are injected from Python (set_poseidon_constants)
+// so the tables cannot drift from the device kernels.
+
+#include <cstdint>
+#include <cstring>
+
+using u64 = std::uint64_t;
+using u128 = unsigned __int128;
+
+static const u64 P = 0xFFFFFFFF00000001ULL;
+static const u64 EPS = 0xFFFFFFFFULL;
+
+static inline u64 reduce128(u128 x) {
+  u64 lo = (u64)x;
+  u64 hi = (u64)(x >> 64);
+  u64 hi_hi = hi >> 32;
+  u64 hi_lo = hi & EPS;
+  u64 t0 = lo - hi_hi;
+  if (lo < hi_hi) t0 -= EPS;  // wrapping borrow fix
+  u64 t1 = hi_lo * EPS;
+  u64 t2 = t0 + t1;
+  if (t2 < t1) t2 += EPS;
+  if (t2 >= P) t2 -= P;
+  return t2;
+}
+
+static inline u64 gl_add(u64 a, u64 b) {
+  u64 s = a + b;
+  if (s < a || s >= P) s += EPS;
+  return s;
+}
+
+static inline u64 gl_mul(u64 a, u64 b) { return reduce128((u128)a * b); }
+
+// Poseidon instance (width 12, x^7, 4+22+4 rounds); tables set from python.
+static const int WIDTH = 12;
+static const int N_ROUNDS = 30;
+static const int HALF_FULL = 4;
+static const int N_PARTIAL = 22;
+static u64 RC[N_ROUNDS][WIDTH];
+static u64 MDS[WIDTH][WIDTH];
+
+extern "C" void set_poseidon_constants(const u64* rc, const u64* mds) {
+  std::memcpy(RC, rc, sizeof(RC));
+  std::memcpy(MDS, mds, sizeof(MDS));
+}
+
+static inline u64 sbox(u64 x) {
+  u64 x2 = gl_mul(x, x);
+  u64 x4 = gl_mul(x2, x2);
+  return gl_mul(gl_mul(x4, x2), x);
+}
+
+static void mds_layer(u64* s) {
+  u64 out[WIDTH];
+  for (int i = 0; i < WIDTH; i++) {
+    u128 acc = 0;
+    // MDS entries are < 2^7, so the 12-term accumulation fits u128 easily;
+    // one reduction per output element.
+    for (int j = 0; j < WIDTH; j++) acc += (u128)MDS[i][j] * s[j];
+    out[i] = reduce128(acc);
+  }
+  std::memcpy(s, out, sizeof(out));
+}
+
+extern "C" void poseidon_permute(u64* state) {
+  int r = 0;
+  for (int k = 0; k < HALF_FULL; k++, r++) {
+    for (int i = 0; i < WIDTH; i++) state[i] = sbox(gl_add(state[i], RC[r][i]));
+    mds_layer(state);
+  }
+  for (int k = 0; k < N_PARTIAL; k++, r++) {
+    for (int i = 0; i < WIDTH; i++) state[i] = gl_add(state[i], RC[r][i]);
+    state[0] = sbox(state[0]);
+    mds_layer(state);
+  }
+  for (int k = 0; k < HALF_FULL; k++, r++) {
+    for (int i = 0; i < WIDTH; i++) state[i] = sbox(gl_add(state[i], RC[r][i]));
+    mds_layer(state);
+  }
+}
+
+// Overwrite-mode rate-8 sponge, 4-element digest (plonky2 hash_no_pad).
+extern "C" void hash_no_pad(const u64* in, u64 n, u64* out4) {
+  u64 state[WIDTH] = {0};
+  for (u64 start = 0; start < n; start += 8) {
+    u64 w = n - start < 8 ? n - start : 8;
+    for (u64 i = 0; i < w; i++) state[i] = in[start + i];
+    poseidon_permute(state);
+  }
+  std::memcpy(out4, state, 4 * sizeof(u64));
+}
+
+// h_{i+1} = H(h_i || block_i) over n_blocks equal-size blocks
+// (ref: verify_hash_output iteration).
+extern "C" void hash_chain(const u64* blocks, u64 n_blocks, u64 block_len,
+                           u64* inout4) {
+  u64 buf_static[512];
+  u64* buf = buf_static;  // enough for 4 + block_len <= 512 fast path
+  u64 total = 4 + block_len;
+  u64* heap = nullptr;
+  if (total > 512) {
+    heap = new u64[total];
+    buf = heap;
+  }
+  for (u64 b = 0; b < n_blocks; b++) {
+    std::memcpy(buf, inout4, 4 * sizeof(u64));
+    std::memcpy(buf + 4, blocks + b * block_len, block_len * sizeof(u64));
+    hash_no_pad(buf, total, inout4);
+  }
+  delete[] heap;
+}
+
+// two-to-one compression for Merkle paths.
+extern "C" void two_to_one(const u64* l, const u64* r, u64* out4) {
+  u64 state[WIDTH] = {0};
+  std::memcpy(state, l, 4 * sizeof(u64));
+  std::memcpy(state + 4, r, 4 * sizeof(u64));
+  poseidon_permute(state);
+  std::memcpy(out4, state, 4 * sizeof(u64));
+}
+
+// Merkle path verify: hash leaf_row (len w), fold siblings upward.
+// Returns the final digest in out4 (caller compares against the cap).
+extern "C" void merkle_path_digest(const u64* leaf, u64 leaf_len,
+                                   const u64* siblings, u64 n_sib,
+                                   u64 index, u64* out4) {
+  u64 digest[4];
+  hash_no_pad(leaf, leaf_len, digest);
+  u64 tmp[4];
+  for (u64 s = 0; s < n_sib; s++) {
+    const u64* sib = siblings + 4 * s;
+    if (index & 1) two_to_one(sib, digest, tmp);
+    else two_to_one(digest, sib, tmp);
+    std::memcpy(digest, tmp, sizeof(tmp));
+    index >>= 1;
+  }
+  std::memcpy(out4, digest, sizeof(digest));
+}
