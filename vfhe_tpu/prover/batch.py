@@ -1,0 +1,281 @@
+"""Batched prover: B independent proofs of ONE circuit in lock-step.
+
+The reference proves one step at a time on CPU threads; the TPU-native
+win is amortizing every device phase across independent proof instances
+(different ciphertexts' step proofs — SURVEY.md section 7 "batching"):
+witness gen, LDE, Merkle levels, permutation, quotient, openings and FRI
+folds all run as (B, ...) batched kernels, while the per-instance
+Fiat-Shamir transcripts interleave on the host between phases.
+
+``prove_batch(data, [pw])`` is bit-identical to ``prove(data, pw)`` —
+same transcript, same proof — so correctness is inherited; tests pin it.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..field import extension as ee
+from ..circuit.compile import CircuitData, PartialWitness
+from ..hashing import poseidon as HP
+from . import fri, merkle
+from .challenger import Challenger
+from .fft import COSET_SHIFT, coset_lde, eval_poly_ext, fft, ifft
+from .prove import (OracleOpening, Proof, QueryOpening, preprocess,
+                    _inv_shift_powers)
+from ..utils.timing import TimingTree
+
+
+@dataclass
+class BatchedTree:
+    """Merkle trees for B instances over identical leaf shapes: every
+    level is one (B, L, 4) tensor."""
+    leaf_data: jnp.ndarray        # (B, L, W)
+    levels: list                  # [(B, L, 4), ..., (B, cap, 4)]
+
+    @property
+    def caps(self) -> np.ndarray:
+        return np.asarray(self.levels[-1])
+
+
+def batched_tree(leaf_data: jnp.ndarray, cap_height: int = 4) -> BatchedTree:
+    leaves = jnp.asarray(leaf_data, jnp.uint64)
+    n = leaves.shape[1]
+    cap_height = min(cap_height, int(np.log2(n)))
+    digests = HP.hash_no_pad_jit(leaves)
+    levels = [digests]
+    while levels[-1].shape[1] > (1 << cap_height):
+        cur = levels[-1]
+        levels.append(HP.two_to_one_jit(cur[:, 0::2], cur[:, 1::2]))
+    return BatchedTree(leaf_data=leaves, levels=levels)
+
+
+def batched_open_path(tree: BatchedTree, b: int, index: int):
+    sibs = []
+    idx = index
+    for level in tree.levels[:-1]:
+        sibs.append(np.asarray(level[b, idx ^ 1]))
+        idx >>= 1
+    return np.asarray(tree.leaf_data[b, index]), sibs
+
+
+def batched_open_paths_bulk(tree: BatchedTree, b: int, indices):
+    """Bulk path opening: one device gather per level."""
+    idxs = np.asarray(indices, dtype=np.int64)
+    rows = np.asarray(tree.leaf_data[b][jnp.asarray(idxs)])
+    sib_levels = []
+    cur = idxs.copy()
+    for level in tree.levels[:-1]:
+        sib_levels.append(np.asarray(level[b][jnp.asarray(cur ^ 1)]))
+        cur >>= 1
+    return [(rows[qi], [lvl[qi] for lvl in sib_levels])
+            for qi in range(len(idxs))]
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_fns(data_id: int):
+    """Per-circuit batched jit kernels (keyed by id(data))."""
+    return {}
+
+
+def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
+    tt = timing if timing is not None else TimingTree("prove_batch")
+    cfg = data.config
+    h = data.h
+    n_lde = h << cfg.rate_bits
+    B = len(pws)
+    pre = preprocess(data)
+    vk = pre["vk"]
+    cache = _batched_fns(id(data))
+    if "witness" not in cache:
+        cache["witness"] = jax.jit(jax.vmap(data.witness_fn))
+        cache["perm"] = jax.jit(jax.vmap(pre["perm_fn"]))
+        cache["quotient"] = jax.jit(jax.vmap(pre["quotient_fn"]))
+        cache["codeword"] = jax.jit(jax.vmap(pre["codeword_fn"]))
+        cache["openings"] = jax.jit(jax.vmap(eval_poly_ext, in_axes=(0, 0)))
+
+    with tt.scope("witness"):
+        w0 = jnp.asarray(np.stack([pw.initial_vector(data) for pw in pws]))
+        w = cache["witness"](w0)
+        trace = w[:, jnp.asarray(data.wire_index)]       # (B, h, W)
+        pis = np.asarray(w[:, jnp.asarray(data.pi_targets)]) \
+            if len(data.pi_targets) else np.zeros((B, 0), np.uint64)
+        pi_hash = np.asarray(HP.hash_no_pad_jit(jnp.asarray(pis))) \
+            if pis.shape[1] else np.zeros((B, 4), np.uint64)
+
+    with tt.scope("wires commit"):
+        wires_cols = jnp.swapaxes(trace, 1, 2)           # (B, W, h)
+        wire_coeffs = ifft(wires_cols)
+        wire_lde = coset_lde(wire_coeffs, cfg.rate_bits)
+        wires_tree = batched_tree(jnp.swapaxes(wire_lde, 1, 2),
+                                  cfg.cap_height)
+
+    chs = [Challenger() for _ in range(B)]
+    for b in range(B):
+        chs[b].observe(vk.circuit_digest)
+        chs[b].observe(pi_hash[b])
+        chs[b].observe_cap(wires_tree.caps[b])
+    betas = np.stack([ch.sample_array(cfg.num_challenges) for ch in chs])
+    gammas = np.stack([ch.sample_array(cfg.num_challenges) for ch in chs])
+
+    with tt.scope("permutation argument"):
+        aux_cols = cache["perm"](trace[:, :, :cfg.num_routed_wires],
+                                 jnp.asarray(betas), jnp.asarray(gammas))
+        aux_coeffs = ifft(aux_cols)
+        aux_lde = coset_lde(aux_coeffs, cfg.rate_bits)
+        aux_tree = batched_tree(jnp.swapaxes(aux_lde, 1, 2), cfg.cap_height)
+    for b in range(B):
+        chs[b].observe_cap(aux_tree.caps[b])
+    alphas = np.stack([ch.sample_array(cfg.num_challenges) for ch in chs])
+
+    with tt.scope("quotient"):
+        quotient_cols = cache["quotient"](
+            wire_lde, aux_lde, jnp.asarray(pi_hash), jnp.asarray(betas),
+            jnp.asarray(gammas), jnp.asarray(alphas))
+        quot_coeffs = ifft(quotient_cols)
+        quot_lde = coset_lde(quot_coeffs, cfg.rate_bits)
+        quot_tree = batched_tree(jnp.swapaxes(quot_lde, 1, 2),
+                                 cfg.cap_height)
+    for b in range(B):
+        chs[b].observe_cap(quot_tree.caps[b])
+
+    zetas = np.stack([ch.sample_ext() for ch in chs])          # (B, 2)
+    g_h = gl.primitive_root_of_unity(h)
+    gzetas = np.asarray(ee.mul_base(jnp.asarray(zetas), jnp.uint64(g_h)))
+
+    with tt.scope("openings"):
+        all_coeffs = jnp.concatenate(
+            [jnp.broadcast_to(pre["coeffs"], (B, *pre["coeffs"].shape)),
+             wire_coeffs, aux_coeffs, quot_coeffs], axis=1)
+        open_z = np.asarray(cache["openings"](all_coeffs,
+                                              jnp.asarray(zetas)))
+        open_gz = np.asarray(cache["openings"](all_coeffs,
+                                               jnp.asarray(gzetas)))
+    for b in range(B):
+        chs[b].observe(open_z[b].ravel())
+        chs[b].observe(open_gz[b].ravel())
+
+    n_pre = pre["coeffs"].shape[0]
+    n_wires = wire_coeffs.shape[1]
+    n_aux = aux_coeffs.shape[1]
+    bounds = np.cumsum([0, n_pre, n_wires, n_aux, quot_coeffs.shape[1]])
+
+    fri_alphas = np.stack([ch.sample_ext() for ch in chs])
+    with tt.scope("fri codeword"):
+        all_lde = jnp.concatenate(
+            [jnp.broadcast_to(pre["lde"], (B, *pre["lde"].shape)),
+             wire_lde, aux_lde, quot_lde], axis=1)
+        codeword = cache["codeword"](all_lde, jnp.asarray(open_z),
+                                     jnp.asarray(open_gz),
+                                     jnp.asarray(zetas), jnp.asarray(gzetas),
+                                     jnp.asarray(fri_alphas))
+
+    fcfg = fri.FriConfig(rate_bits=cfg.rate_bits,
+                         arity_bits=cfg.fri_arity_bits,
+                         num_queries=cfg.fri_num_queries,
+                         pow_bits=cfg.fri_pow_bits,
+                         final_poly_len=cfg.fri_final_poly_len)
+
+    with tt.scope("fri fold+commit"):
+        v = codeword
+        n = v.shape[1]
+        shift = COSET_SHIFT
+        fri_trees, sizes, shifts = [], [], []
+        fold_v = cache.setdefault(
+            "fold", jax.vmap(fri.fold_layer, in_axes=(0, 0, None, None)))
+        leaves_v = jax.vmap(fri._layer_leaves)
+        while n > (fcfg.final_poly_len << fcfg.rate_bits):
+            tree = batched_tree(leaves_v(v))
+            fri_trees.append(tree)
+            fbeta = []
+            for b in range(B):
+                chs[b].observe_cap(tree.caps[b])
+                fbeta.append(chs[b].sample_ext())
+            fbeta = np.stack(fbeta)
+            sizes.append(n)
+            shifts.append(shift)
+            v = fold_v(v, jnp.asarray(fbeta), n, shift)
+            shift = gl.h_pow(shift, 4)
+            n = v.shape[1]
+
+        # final polynomial per instance
+        vals = jnp.moveaxis(v, -1, 1)            # (B, 2, n)
+        coeffs = ifft(vals)
+        unscale = jnp.asarray(_final_unscale(n, shift))
+        coeffs = gl.mul(coeffs, unscale)
+        coeffs = jnp.moveaxis(coeffs, 1, -1)     # (B, n, 2)
+        final_len = n >> fcfg.rate_bits
+        final_coeffs = np.asarray(coeffs[:, :final_len])
+        assert (np.asarray(coeffs[:, final_len:]) == 0).all()
+        for b in range(B):
+            chs[b].observe(final_coeffs[b].ravel())
+
+    with tt.scope("fri pow + queries"):
+        proofs = []
+        main_trees = [None, wires_tree, aux_tree, quot_tree]
+        for b in range(B):
+            pow_witness = fri.grind(chs[b], fcfg.pow_bits)
+            assert fri.check_pow(chs[b], pow_witness, fcfg.pow_bits)
+            indices = chs[b].sample_indices(int(np.log2(n_lde)),
+                                            fcfg.num_queries)
+            reduced = [np.asarray(indices)]
+            for nn in sizes:
+                reduced.append(reduced[-1] % (nn // 4))
+            per_layer = [batched_open_paths_bulk(tree, b, reduced[li + 1])
+                         for li, tree in enumerate(fri_trees)]
+            fri_rounds = []
+            for qi in range(len(indices)):
+                layers = [fri.FriLayerOpening(
+                    leaf=per_layer[li][qi][0].reshape(4, 2),
+                    siblings=per_layer[li][qi][1])
+                    for li in range(len(fri_trees))]
+                fri_rounds.append(fri.FriQueryRound(layers=layers))
+
+            # oracle 0 (preprocessed) is shared across instances
+            pre_paths = merkle.open_paths_bulk(pre["tree"], indices)
+            inst_paths = [batched_open_paths_bulk(tree, b, indices)
+                          for tree in main_trees[1:]]
+            query_openings = []
+            for qi in range(len(indices)):
+                leaves = [pre_paths[qi][0]] + \
+                    [ip[qi][0] for ip in inst_paths]
+                sibs = [pre_paths[qi][1]] + [ip[qi][1] for ip in inst_paths]
+                query_openings.append(QueryOpening(leaves=leaves,
+                                                   siblings=sibs))
+
+            openings = [OracleOpening(open_z[b, bounds[i]:bounds[i + 1]],
+                                      open_gz[b, bounds[i]:bounds[i + 1]])
+                        for i in range(4)]
+            proofs.append(Proof(
+                public_inputs=pis[b],
+                wires_cap=wires_tree.caps[b],
+                aux_cap=aux_tree.caps[b],
+                quotient_cap=quot_tree.caps[b],
+                openings=openings,
+                fri_caps=[t.caps[b] for t in fri_trees],
+                fri_final_coeffs=final_coeffs[b],
+                pow_witness=pow_witness,
+                query_indices=indices,
+                query_openings=query_openings,
+                fri_query_rounds=fri_rounds,
+            ))
+    if timing is None:
+        tt.done()
+    return proofs
+
+
+@functools.lru_cache(maxsize=None)
+def _final_unscale(n: int, shift: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    s_inv = gl.h_inv(shift % gl.P)
+    for i in range(n):
+        out[i] = acc
+        acc = gl.h_mul(acc, s_inv)
+    return out

@@ -192,19 +192,21 @@ def commit_phase(codeword: jnp.ndarray, shift: int, ch: Challenger,
 
 
 def query_phase(trees, sizes, ch: Challenger, cfg: FriConfig, n0: int):
-    """Sample query indices and open every layer along each query path."""
+    """Sample query indices and open every layer along each query path
+    (bulk gathers: one device fetch per level per layer)."""
     indices = ch.sample_indices(int(np.log2(n0)), cfg.num_queries)
+    reduced = [np.asarray(indices)]
+    for n in sizes:
+        reduced.append(reduced[-1] % (n // 4))
+    per_layer = [merkle.open_paths_bulk(tree, reduced[li + 1])
+                 for li, tree in enumerate(trees)]
     rounds = []
-    for q in indices:
+    for qi in range(len(indices)):
         layers = []
-        qi = int(q)
-        for tree, n in zip(trees, sizes):
-            m = n // 4
-            r = qi % m
-            leaf, sibs = merkle.open_path(tree, r)
+        for li in range(len(trees)):
+            leaf, sibs = per_layer[li][qi]
             layers.append(FriLayerOpening(leaf=leaf.reshape(4, 2),
                                           siblings=sibs))
-            qi = r
         rounds.append(FriQueryRound(layers=layers))
     return indices, rounds
 

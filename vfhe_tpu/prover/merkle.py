@@ -56,6 +56,24 @@ def open_path(tree: MerkleTree, index: int):
     return np.asarray(tree.leaf_data[index]), sibs
 
 
+def open_paths_bulk(tree: MerkleTree, indices):
+    """Open many paths with ONE device gather per level (tiny per-element
+    device->host fetches dominate query time otherwise, especially over
+    the axon tunnel). Returns [(leaf_row, siblings)] per index."""
+    import jax.numpy as jnp
+    idxs = np.asarray(indices, dtype=np.int64)
+    rows = np.asarray(tree.leaf_data[jnp.asarray(idxs)])
+    sib_levels = []
+    cur = idxs.copy()
+    for level in tree.levels[:-1]:
+        sib_levels.append(np.asarray(level[jnp.asarray(cur ^ 1)]))
+        cur >>= 1
+    out = []
+    for qi in range(len(idxs)):
+        out.append((rows[qi], [lvl[qi] for lvl in sib_levels]))
+    return out
+
+
 def verify_path(leaf_row, index: int, siblings, cap) -> bool:
     """Host-side path check against the cap (used by the proof verifier;
     native/python-int Poseidon — scalar work, no device round-trips)."""

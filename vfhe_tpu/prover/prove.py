@@ -436,13 +436,11 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
         indices, fri_rounds = fri.query_phase(trees, sizes, ch, fcfg, n_lde)
 
         main_trees = [pre["tree"], wires_tree, aux_tree, quot_tree]
+        per_tree = [merkle.open_paths_bulk(t, indices) for t in main_trees]
         query_openings = []
-        for q in indices:
-            leaves, sibs = [], []
-            for t in main_trees:
-                leaf, sb = merkle.open_path(t, int(q))
-                leaves.append(leaf)
-                sibs.append(sb)
+        for qi in range(len(indices)):
+            leaves = [per_tree[t][qi][0] for t in range(4)]
+            sibs = [per_tree[t][qi][1] for t in range(4)]
             query_openings.append(QueryOpening(leaves=leaves, siblings=sibs))
     if timing is None:
         tt.done()
