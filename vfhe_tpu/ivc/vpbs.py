@@ -181,11 +181,18 @@ def _pis(proof, rng) -> np.ndarray:
 
 def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
                  config: CircuitConfig = STANDARD_CONFIG,
-                 debug_glwe_key=None, debug_lwe_key=None, debug_ksk_key=None):
+                 debug_glwe_key=None, debug_lwe_key=None, debug_ksk_key=None,
+                 checkpoint_dir: str | None = None):
     """Prove one PBS as a chain of n+2 step proofs
     (ref: ivc_based_vpbs.rs:159-386).
 
+    ``checkpoint_dir``: step-granular persistence/resume — the chain state
+    after step t is just (proof_t), so a crashed run resumes at the first
+    missing step (SURVEY.md section 5 "naturally checkpointable").
+
     Returns (out_ct, proofs, step_circuit)."""
+    import os
+    from ..prover.serialize import proof_to_bytes, proof_from_bytes
     p = params
     sc = get_step_circuit(p, config)
     lay = sc.layout
@@ -199,7 +206,21 @@ def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
 
     proofs = []
     prev = None
-    for step in range(p.num_steps):
+    start_step = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        while start_step < p.num_steps:
+            path = os.path.join(checkpoint_dir, f"step_{start_step}.bin")
+            if not os.path.exists(path):
+                break
+            with open(path, "rb") as f:
+                prev = proof_from_bytes(f.read())
+            proofs.append(prev)
+            start_step += 1
+        if start_step:
+            log.info("resuming from checkpoint at step %d", start_step)
+
+    for step in range(start_step, p.num_steps):
         pw = PartialWitness()
         sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
         pw.set_target(sc.t_counter, step + 1)
@@ -229,6 +250,11 @@ def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
         tt.done()
         proofs.append(proof)
         prev = proof
+        if checkpoint_dir:
+            path = os.path.join(checkpoint_dir, f"step_{step}.bin")
+            with open(path + ".tmp", "wb") as f:
+                f.write(proof_to_bytes(proof))
+            os.replace(path + ".tmp", path)
 
         # per-step noise telemetry (ref: ivc:314-321, 341-352)
         if debug_glwe_key is not None:

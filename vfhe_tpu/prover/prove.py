@@ -62,8 +62,8 @@ class Proof:
     fri_query_rounds: list
 
     def num_bytes(self) -> int:
-        import pickle
-        return len(pickle.dumps(self))
+        from .serialize import proof_to_bytes
+        return len(proof_to_bytes(self))
 
 
 @dataclass
