@@ -302,15 +302,37 @@ class CircuitBuilder:
     def hash_n_to_hash_no_pad(self, inputs) -> np.ndarray:
         """In-circuit sponge (rate 8, overwrite) -> 4 digest targets.
         Mirrors plonky2's hash_n_to_hash_no_pad used at
-        ivc_based_vpbs.rs:128-143."""
+        ivc_based_vpbs.rs:128-143.
+
+        All full rate-8 chunks become ONE "sponge" witness op (a
+        lax.scan) — the bsk hash chain alone is ~2k sequential
+        permutations at paper params, which must not unroll into the
+        witness graph. Constraint rows are identical to the chunk-by-
+        chunk form."""
         inputs = _np_idx(inputs)
         z = self.zero()
-        state = np.full(12, z, dtype=np.int64)
-        for start in range(0, inputs.size, 8):
-            chunk = inputs[start:start + 8]
-            state = state.copy()
-            state[:chunk.size] = chunk
-            state = self.poseidon_vec(state[None, :])[0]
+        full = inputs.size // 8
+        if full:
+            chunks = inputs[:full * 8].reshape(full, 8)
+            states = self.add_virtual_targets(full * 30 * 12) \
+                .reshape(full, 30, 12)
+            self._defined.update(states.ravel().tolist())
+            in_mat = np.empty((full, 12), dtype=np.int64)
+            in_mat[:, :8] = chunks
+            in_mat[0, 8:] = z
+            if full > 1:
+                in_mat[1:, 8:] = states[:-1, 29, 8:12]
+            self._ops.append(_WitnessOp("sponge", dict(chunks=chunks,
+                                                       states=states)))
+            self._poseidon.append((in_mat, states))
+            state = states[-1, 29, :].copy()
+        else:
+            state = np.full(12, z, dtype=np.int64)
+        rem = inputs.size - full * 8
+        if rem:
+            s_in = state.copy()
+            s_in[:rem] = inputs[full * 8:]
+            state = self.poseidon_vec(s_in[None, :])[0]
         return state[:4]
 
     # ------------------------------------------------------------------ #

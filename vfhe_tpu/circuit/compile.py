@@ -284,6 +284,17 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int):
             elif op.kind == "poseidon":
                 states = _poseidon_all_states(w[d["inp"]])
                 w = w.at[d["states"]].set(states)
+            elif op.kind == "sponge":
+                chunks_v = w[d["chunks"]]          # (C, 8)
+
+                def sponge_body(carry_tail, chunk):
+                    s_in = jnp.concatenate([chunk, carry_tail])
+                    all30 = HP.permute_all_states(s_in)   # (30, 12)
+                    return all30[-1, 8:12], all30
+
+                _, states = jax.lax.scan(
+                    sponge_body, jnp.zeros(4, jnp.uint64), chunks_v)
+                w = w.at[d["states"]].set(states)
             elif op.kind == "copy":
                 w = w.at[d["dst"]].set(w[d["src"]])
             elif op.kind == "eq":
