@@ -45,7 +45,8 @@ from ..hashing import poseidon as HP
 from .config import CircuitConfig, STANDARD_CONFIG
 
 # gate kind tags
-NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI = range(8)
+NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI, SELECT = range(9)
+SELECT_LANES = 20
 
 ARITH_LANES = 20
 POS_CHUNK = 10  # rounds per poseidon row
@@ -66,6 +67,7 @@ class GateInstance:
     kind: int
     param: int = 0      # BASESUM: nbits
     selector: int = -1  # assigned at build
+    lanes: int = 1      # BASESUM: lanes packed per row
 
 
 class CircuitBuilder:
@@ -83,6 +85,7 @@ class CircuitBuilder:
         self._arith_groups: dict[tuple[int, int], list] = {}
         self._basesum: dict[int, list] = {}   # nbits -> [(sum(L,), bits(L,b))]
         self._poseidon: list = []             # (in(L,12), states(L,30,12))
+        self._select: list = []               # (b, x, y, out) flat lanes
         self._built = False
 
     # ------------------------------------------------------------------ #
@@ -198,10 +201,17 @@ class CircuitBuilder:
         return self.mul_vec(x, np.broadcast_to(c_ts, _np_idx(x).shape))
 
     def select_vec(self, ctrl, x, y) -> np.ndarray:
-        """out = ctrl ? x : y == ctrl*(x-y) + y (2 lanes)."""
-        ctrl = np.broadcast_to(_np_idx(ctrl), _np_idx(x).shape)
-        d = self.sub_vec(x, y)
-        return self.mul_add_vec(ctrl, d, y)
+        """out = ctrl ? x : y via the dedicated SELECT gate lane
+        (constraint ctrl*(x-y) + y - out, degree 2)."""
+        x, y = _np_idx(x), _np_idx(y)
+        ctrl = np.broadcast_to(_np_idx(ctrl), x.shape)
+        out = self.add_virtual_targets(x.size).reshape(x.shape)
+        self._defined.update(out.ravel().tolist())
+        self._ops.append(_WitnessOp("select", dict(
+            b=ctrl.ravel(), x=x.ravel(), y=y.ravel(), out=out.ravel())))
+        self._select.append((ctrl.ravel(), x.ravel(), y.ravel(),
+                             out.ravel()))
+        return out
 
     def assert_bool(self, t) -> None:
         """b*b - b == 0 via an arith lane writing into the zero cell."""
@@ -345,7 +355,10 @@ class CircuitBuilder:
             lanes = sum(c[0].size for c in chunks)
             rows += -(-lanes // ARITH_LANES)
         for nbits, entries in self._basesum.items():
-            rows += sum(e[0].size for e in entries)
+            lanes_pr = max(1, self.config.num_routed_wires // (nbits + 1))
+            rows += -(-sum(e[0].size for e in entries) // lanes_pr)
+        sel_lanes = sum(s[0].size for s in self._select)
+        rows += -(-sel_lanes // SELECT_LANES)
         rows += 3 * sum(p[0].shape[0] for p in self._poseidon)
         rows += -(-len(self._const_map) // 4)
         rows += 1  # PI gate

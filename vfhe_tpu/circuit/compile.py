@@ -21,7 +21,8 @@ from ..field import goldilocks as gl
 from ..hashing import constants as HC
 from ..hashing import poseidon as HP
 from .builder import (NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI,
-                      ARITH_LANES, CircuitBuilder, GateInstance)
+                      SELECT, ARITH_LANES, SELECT_LANES, CircuitBuilder,
+                      GateInstance)
 from .config import CircuitConfig
 
 
@@ -99,12 +100,42 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0) -> CircuitData:
             consts_rows.append([k0, k1, 0, 0])
             kinds.append((ARITH, 0))
 
-    # ---- base-sum rows --------------------------------------------------
+    # ---- select rows ----------------------------------------------------
+    if b._select:
+        sb = np.concatenate([s[0] for s in b._select])
+        sx = np.concatenate([s[1] for s in b._select])
+        sy = np.concatenate([s[2] for s in b._select])
+        so = np.concatenate([s[3] for s in b._select])
+        lanes = sb.size
+        nrows = -(-lanes // SELECT_LANES)
+        padn = nrows * SELECT_LANES - lanes
+        if padn:
+            zpad = np.full(padn, zero_t, dtype=np.int64)
+            sb, sx, sy, so = (np.concatenate([v, zpad])
+                              for v in (sb, sx, sy, so))
+        lanes4 = np.stack([sb, sx, sy, so], axis=1).reshape(
+            nrows, SELECT_LANES * 4)
+        for r in range(nrows):
+            wires_rows.append(lanes4[r])
+            consts_rows.append([0, 0, 0, 0])
+            kinds.append((SELECT, 0))
+
+    # ---- base-sum rows (multiple lanes per row for small widths) --------
     for nbits, entries in sorted(b._basesum.items()):
         sums = np.concatenate([e[0] for e in entries])
         bits = np.concatenate([e[1] for e in entries], axis=0)
-        for r in range(sums.size):
-            wires_rows.append(np.concatenate([[sums[r]], bits[r]]))
+        lanes_pr = max(1, cfg.num_routed_wires // (nbits + 1))
+        L = sums.size
+        nrows = -(-L // lanes_pr)
+        padn = nrows * lanes_pr - L
+        if padn:
+            sums = np.concatenate([sums, np.full(padn, zero_t)])
+            bits = np.concatenate(
+                [bits, np.full((padn, nbits), zero_t)], axis=0)
+        lanes = np.concatenate([sums[:, None], bits], axis=1)  # (L', 1+nb)
+        lanes = lanes.reshape(nrows, lanes_pr * (1 + nbits))
+        for r in range(nrows):
+            wires_rows.append(lanes[r])
             consts_rows.append([0, 0, 0, 0])
             kinds.append((BASESUM, nbits))
 
@@ -159,8 +190,11 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0) -> CircuitData:
             continue
         if key not in gate_key_to_sel:
             gate_key_to_sel[key] = len(gates)
+            lanes = 1
+            if key[0] == BASESUM:
+                lanes = max(1, cfg.num_routed_wires // (key[1] + 1))
             gates.append(GateInstance(kind=key[0], param=key[1],
-                                      selector=len(gates)))
+                                      selector=len(gates), lanes=lanes))
         sel_of_row[r] = gate_key_to_sel[key]
     S = len(gates)
     selectors = np.zeros((S, h), dtype=np.uint64)
@@ -295,6 +329,10 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int):
                 _, states = jax.lax.scan(
                     sponge_body, jnp.zeros(4, jnp.uint64), chunks_v)
                 w = w.at[d["states"]].set(states)
+            elif op.kind == "select":
+                bv, xv, yv = w[d["b"]], w[d["x"]], w[d["y"]]
+                res = gl.add(gl.mul(bv, gl.sub(xv, yv)), yv)
+                w = w.at[d["out"]].set(res)
             elif op.kind == "copy":
                 w = w.at[d["dst"]].set(w[d["src"]])
             elif op.kind == "eq":

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..field.goldilocks import P as gl_P
 from ..ntt.params import get_params
 
 
@@ -27,13 +28,15 @@ def ntt_forward(b, x: np.ndarray) -> np.ndarray:
         m = 1 << logm
         t = n // (2 * m)
         xr = x.reshape(*batch, m, 2, t)
-        u = xr[..., 0, :]
-        vsrc = xr[..., 1, :]
+        u = xr[..., 0, :].reshape(-1)
+        vsrc = xr[..., 1, :].reshape(-1)
         roots = np.broadcast_to(p.roots[m:2 * m, None], (*batch, m, t))
-        v = b.mul_const_vec(roots.ravel(), vsrc.ravel())
-        u_flat = u.reshape(-1)
-        new0 = b.add_vec(u_flat, v)
-        new1 = b.sub_vec(u_flat, v)
+        s_ts = np.broadcast_to(b.constants(p.roots[m:2 * m]),
+                               (*batch, m))[..., None]
+        s_ts = np.broadcast_to(s_ts, (*batch, m, t)).reshape(-1)
+        # fused butterflies: u + s*x and u - s*x as single arith lanes
+        new0 = b._arith_vec(1, 1, s_ts, vsrc, u)
+        new1 = b._arith_vec(gl_P - 1, 1, s_ts, vsrc, u)
         x = np.stack([new0.reshape(*batch, m, t),
                       new1.reshape(*batch, m, t)], axis=-2).reshape(*batch, n)
     return x

@@ -22,7 +22,8 @@ from ..field import goldilocks as gl
 from ..field import extension as ee
 from ..hashing import constants as HC
 from ..circuit.builder import (NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C,
-                               CONST, PI, ARITH_LANES, POS_CHUNK)
+                               CONST, PI, SELECT, ARITH_LANES, SELECT_LANES,
+                               POS_CHUNK)
 
 
 class BaseOps:
@@ -106,14 +107,16 @@ def eval_gate(gate, F, wires, consts, pi_hash) -> list:
             cs.append(F.sub(val, out))
     elif kind == BASESUM:
         nbits = gate.param
-        s = wires[0]
-        acc = None
-        for i in range(nbits):
-            b = wires[1 + i]
-            cs.append(F.mul(b, F.sub(b, _one(F, b))))
-            term = F.mul_int(b, pow(2, i, gl.P))
-            acc = term if acc is None else F.add(acc, term)
-        cs.append(F.sub(acc, s))
+        for lane in range(gate.lanes):
+            base = lane * (1 + nbits)
+            s = wires[base]
+            acc = None
+            for i in range(nbits):
+                b = wires[base + 1 + i]
+                cs.append(F.mul(b, F.sub(b, _one(F, b))))
+                term = F.mul_int(b, pow(2, i, gl.P))
+                acc = term if acc is None else F.add(acc, term)
+            cs.append(F.sub(acc, s))
     elif kind in (POS_A, POS_B, POS_C):
         offset = {POS_A: 0, POS_B: POS_CHUNK, POS_C: 2 * POS_CHUNK}[kind]
         state = [wires[i] for i in range(12)]
@@ -126,6 +129,11 @@ def eval_gate(gate, F, wires, consts, pi_hash) -> list:
                 nxt = boundary
             cs.extend(F.sub(out[i], nxt[i]) for i in range(12))
             state = nxt
+    elif kind == SELECT:
+        for l in range(SELECT_LANES):
+            b, x, y, out = (wires[4 * l + i] for i in range(4))
+            val = F.add(F.mul(b, F.sub(x, y)), y)
+            cs.append(F.sub(val, out))
     elif kind == CONST:
         for j in range(4):
             cs.append(F.sub(wires[j], consts[j]))
@@ -165,18 +173,31 @@ def eval_gate_stacked(gate, wire_lde: jnp.ndarray, const_lde: jnp.ndarray,
         return gl.sub(gl.add(gl.mul(k0, gl.mul(a, b)), gl.mul(k1, c)), out)
     if kind == BASESUM:
         nb = gate.param
-        s = wire_lde[0]
-        bits = wire_lde[1:1 + nb]                      # (nb, n)
+        lanes = gate.lanes
+        # lane l occupies wires [l*(1+nb) .. l*(1+nb)+nb]
+        mat = wire_lde[:lanes * (1 + nb)].reshape(lanes, 1 + nb, n)
+        s = mat[:, 0]                                  # (lanes, n)
+        bits = mat[:, 1:]                              # (lanes, nb, n)
         bools = gl.mul(bits, gl.sub(bits, jnp.uint64(1)))
         pows = np.array([pow(2, i, gl.P) for i in range(nb)], dtype=np.uint64)
-        weighted = gl.mul(bits, jnp.asarray(pows)[:, None])
+        weighted = gl.mul(bits, jnp.asarray(pows)[None, :, None])
 
         def body(carry, row):
             return gl.add(carry, row), None
 
-        total, _ = jax.lax.scan(body, jnp.zeros((n,), jnp.uint64), weighted)
-        recomb = gl.sub(total, s)[None, :]
-        return jnp.concatenate([bools, recomb], axis=0)
+        total, _ = jax.lax.scan(body, jnp.zeros((lanes, n), jnp.uint64),
+                                jnp.moveaxis(weighted, 1, 0))
+        recomb = gl.sub(total, s)[:, None, :]          # (lanes, 1, n)
+        # order: per lane: bools then recomb (matches eval_gate)
+        out = jnp.concatenate([bools, recomb], axis=1)  # (lanes, nb+1, n)
+        return out.reshape(lanes * (nb + 1), n)
+    if kind == SELECT:
+        idx = np.arange(SELECT_LANES) * 4
+        b = wire_lde[idx]
+        x = wire_lde[idx + 1]
+        y = wire_lde[idx + 2]
+        out = wire_lde[idx + 3]
+        return gl.sub(gl.add(gl.mul(b, gl.sub(x, y)), y), out)
     if kind in (POS_A, POS_B, POS_C):
         return _poseidon_stacked(kind, wire_lde)
     if kind == CONST:
@@ -217,7 +238,9 @@ def num_gate_constraints(gates) -> int:
         if g.kind == ARITH:
             n += ARITH_LANES
         elif g.kind == BASESUM:
-            n += g.param + 1
+            n += (g.param + 1) * g.lanes
+        elif g.kind == SELECT:
+            n += SELECT_LANES
         elif g.kind in (POS_A, POS_B, POS_C):
             n += 12 * POS_CHUNK
         elif g.kind in (CONST, PI):

@@ -1,3 +1,4 @@
 from .timing import TimingTree
+from .profiling import device_trace
 
-__all__ = ["TimingTree"]
+__all__ = ["TimingTree", "device_trace"]
