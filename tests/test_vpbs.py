@@ -70,3 +70,30 @@ def test_vpbs_tamper_rejected():
     bad_bsk[0, 0, 0, 0, 0] += 1
     with pytest.raises(AssertionError):
         verify_pbs(out_ct, ct, testv, jnp.asarray(bad_bsk), ksk, proofs, sc)
+
+
+@pytest.mark.slow
+def test_batched_vpbs_chains():
+    """Two ciphertexts proved in lock-step; each chain verifies and
+    decrypts to its own correctly rotated test vector."""
+    from vfhe_tpu.ivc import verified_pbs_batch
+    p = TEST_PARAMS
+    k1, k2, k3, k4, k5, k6 = jax.random.split(KEY, 6)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    ms = [1, 5]
+    cts = np.stack([np.asarray(clwe.encrypt(k, s_lwe, gl.h_mul(delta, m), 0.0))
+                    for k, m in zip(jax.random.split(k5, 2), ms)])
+
+    out_cts, chains, sc = verified_pbs_batch(cts, testv, bsk, ksk, p,
+                                             config=TEST_CONFIG)
+    for bi, m in enumerate(ms):
+        verify_pbs(out_cts[bi], cts[bi], testv, bsk, ksk, chains[bi], sc)
+        m_out = cglwe.decrypt(out_cts[bi], s_to)
+        neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
+        check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)

@@ -1,7 +1,7 @@
 from .vpbs import (VpbsParams, TEST_PARAMS, StepLayout, StepCircuit,
                    build_step_circuit, get_step_circuit, verified_pbs,
-                   verify_pbs, verify_hash_output)
+                   verified_pbs_batch, verify_pbs, verify_hash_output)
 
 __all__ = ["VpbsParams", "TEST_PARAMS", "StepLayout", "StepCircuit",
            "build_step_circuit", "get_step_circuit", "verified_pbs",
-           "verify_pbs", "verify_hash_output"]
+           "verified_pbs_batch", "verify_pbs", "verify_hash_output"]

@@ -277,6 +277,73 @@ def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
     return jnp.asarray(out), proofs, sc
 
 
+def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
+                       config: CircuitConfig = STANDARD_CONFIG):
+    """Prove B independent PBS chains in lock-step: all ciphertexts' step
+    t proofs are produced by ONE batched prover call (vfhe_tpu.prover.
+    batch) — the proofs/s scaling axis (SURVEY.md section 7: parallelism
+    across independent ciphertexts, since the chain itself is
+    sequential).
+
+    ``cts``: (B, n+1) LWE ciphertexts under the same key material.
+    Returns (out_cts (B, K, N), proofs_per_instance: list of B lists, sc).
+    """
+    from ..prover.batch import prove_batch
+    p = params
+    sc = get_step_circuit(p, config)
+    lay = sc.layout
+    cts = np.asarray(cts, dtype=np.uint64)
+    B = cts.shape[0]
+    acc_init_vals = np.concatenate(
+        [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
+    dummy = np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL))
+    bsk_np = np.asarray(bsk)
+    ksk_np = np.asarray(ksk)
+
+    chains = [[] for _ in range(B)]
+    prev = [None] * B
+    for step in range(p.num_steps):
+        pws = []
+        for bi in range(B):
+            pw = PartialWitness()
+            sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
+            pw.set_target(sc.t_counter, step + 1)
+            if step == 0:
+                ggsw_vals, mask_val = dummy, int(cts[bi, p.n])
+                acc_in_vals = acc_init_vals
+                hash_ins = (np.zeros(4, np.uint64), np.zeros(4, np.uint64))
+            elif step <= p.n:
+                ggsw_vals = bsk_np[step - 1]
+                mask_val = int(cts[bi, step - 1])
+                acc_in_vals = _pis(prev[bi], lay.latest_acc)
+                hash_ins = (_pis(prev[bi], lay.bsk_hash_out),
+                            _pis(prev[bi], lay.lwe_hash_out))
+            else:
+                ggsw_vals, mask_val = ksk_np, 0
+                acc_in_vals = _pis(prev[bi], lay.latest_acc)
+                hash_ins = (_pis(prev[bi], lay.bsk_hash_out),
+                            _pis(prev[bi], lay.lwe_hash_out))
+            sc.t_ggsw.assign(pw, ggsw_vals)
+            pw.set_target(sc.t_mask, mask_val)
+            sc.t_acc_in.assign(pw, np.asarray(
+                acc_in_vals, dtype=np.uint64).reshape(p.K, p.N))
+            pw.set_target_arr(sc.t_bsk_hash_in, hash_ins[0])
+            pw.set_target_arr(sc.t_lwe_hash_in, hash_ins[1])
+            pws.append(pw)
+
+        tt = TimingTree(f"prove step {step} (batch {B})")
+        proofs = prove_batch(sc.data, pws, timing=tt)
+        tt.done()
+        for bi in range(B):
+            chains[bi].append(proofs[bi])
+            prev[bi] = proofs[bi]
+
+    outs = np.stack([np.asarray(_pis(prev[bi], lay.latest_acc),
+                                dtype=np.uint64).reshape(p.K, p.N)
+                     for bi in range(B)])
+    return jnp.asarray(outs), chains, sc
+
+
 def verify_hash_output(hash_data, claimed) -> bool:
     """Native recomputation of an absorb chain h = H(h || block)
     (ref: ivc_based_vpbs.rs:64-78). Uses the C++ host runtime when blocks
