@@ -333,6 +333,14 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int):
                 bv, xv, yv = w[d["b"]], w[d["x"]], w[d["y"]]
                 res = gl.add(gl.mul(bv, gl.sub(xv, yv)), yv)
                 w = w.at[d["out"]].set(res)
+            elif op.kind == "ext_inv":
+                xv = w[d["x"]]                    # (L, 2)
+                norm = gl.sub(gl.square(xv[:, 0]),
+                              gl.mul(jnp.uint64(7), gl.square(xv[:, 1])))
+                ninv = gl.inv(norm)
+                inv = jnp.stack([gl.mul(xv[:, 0], ninv),
+                                 gl.mul(gl.neg(xv[:, 1]), ninv)], axis=-1)
+                w = w.at[d["out"]].set(inv)
             elif op.kind == "copy":
                 w = w.at[d["dst"]].set(w[d["src"]])
             elif op.kind == "eq":
