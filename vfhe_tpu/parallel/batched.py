@@ -45,9 +45,11 @@ def make_step_core(sc_data):
         wire_coeffs = ifft(wires_cols)
         wire_lde = coset_lde(wire_coeffs, cfg.rate_bits)
         digests = HP.hash_no_pad(jnp.transpose(wire_lde))
-        aux = perm_fn(trace[:, :cfg.num_routed_wires], betas, gammas)
+        aux = perm_fn(trace[:, :cfg.num_routed_wires], betas, gammas,
+                      pre["tables"])
         aux_lde = coset_lde(ifft(aux), cfg.rate_bits)
-        quot = quotient_fn(wire_lde, aux_lde, pi_hash, betas, gammas, alphas)
+        quot = quotient_fn(wire_lde, aux_lde, pi_hash, betas, gammas, alphas,
+                           pre["tables"])
         return digests, quot
 
     return core

@@ -95,9 +95,12 @@ def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
     cache = _batched_fns(id(data))
     if "witness" not in cache:
         cache["witness"] = jax.jit(jax.vmap(data.witness_fn))
-        cache["perm"] = jax.jit(jax.vmap(pre["perm_fn"]))
-        cache["quotient"] = jax.jit(jax.vmap(pre["quotient_fn"]))
-        cache["codeword"] = jax.jit(jax.vmap(pre["codeword_fn"]))
+        cache["perm"] = jax.jit(jax.vmap(
+            pre["perm_fn"], in_axes=(0, 0, 0, None)))
+        cache["quotient"] = jax.jit(jax.vmap(
+            pre["quotient_fn"], in_axes=(0, 0, 0, 0, 0, 0, None)))
+        cache["codeword"] = jax.jit(jax.vmap(
+            pre["codeword_fn"], in_axes=(0, 0, 0, 0, 0, 0, None)))
         cache["openings"] = jax.jit(jax.vmap(eval_poly_ext, in_axes=(0, 0)))
 
     with tt.scope("witness"):
@@ -126,7 +129,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
 
     with tt.scope("permutation argument"):
         aux_cols = cache["perm"](trace[:, :, :cfg.num_routed_wires],
-                                 jnp.asarray(betas), jnp.asarray(gammas))
+                                 jnp.asarray(betas), jnp.asarray(gammas),
+                                 pre["tables"])
         aux_coeffs = ifft(aux_cols)
         aux_lde = coset_lde(aux_coeffs, cfg.rate_bits)
         aux_tree = batched_tree(jnp.swapaxes(aux_lde, 1, 2), cfg.cap_height)
@@ -137,7 +141,7 @@ def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
     with tt.scope("quotient"):
         quotient_cols = cache["quotient"](
             wire_lde, aux_lde, jnp.asarray(pi_hash), jnp.asarray(betas),
-            jnp.asarray(gammas), jnp.asarray(alphas))
+            jnp.asarray(gammas), jnp.asarray(alphas), pre["tables"])
         quot_coeffs = ifft(quotient_cols)
         quot_lde = coset_lde(quot_coeffs, cfg.rate_bits)
         quot_tree = batched_tree(jnp.swapaxes(quot_lde, 1, 2),
@@ -174,7 +178,7 @@ def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
         codeword = cache["codeword"](all_lde, jnp.asarray(open_z),
                                      jnp.asarray(open_gz),
                                      jnp.asarray(zetas), jnp.asarray(gzetas),
-                                     jnp.asarray(fri_alphas))
+                                     jnp.asarray(fri_alphas), pre["tables"])
 
     fcfg = fri.FriConfig(rate_bits=cfg.rate_bits,
                          arity_bits=cfg.fri_arity_bits,

@@ -157,6 +157,7 @@ def preprocess(data: CircuitData):
                      preproc_cap=np.asarray(tree.cap), circuit_digest=digest,
                      num_preproc=cols.shape[0])
     out = dict(coeffs=coeffs, lde=lde, tree=tree, vk=vk,
+               tables=_make_tables(data, lde),
                perm_fn=_make_perm_fn(data),
                quotient_fn=_make_quotient_fn(data, lde),
                codeword_fn=_make_codeword_fn())
@@ -177,19 +178,48 @@ def _ext_inv_vec(dv: jnp.ndarray) -> jnp.ndarray:
                       gl.mul(gl.neg(dv[..., 1]), ninv)], axis=-1)
 
 
+def _make_tables(data: CircuitData, pre_lde: jnp.ndarray) -> dict:
+    """Device-resident constant tables, passed as ARGUMENTS to the jitted
+    prover kernels. Closing over multi-hundred-MB constants instead makes
+    XLA attempt compile-time constant folding over them (observed as
+    pathological compile times at h=2^15)."""
+    cfg = data.config
+    h = data.h
+    n = h << cfg.rate_bits
+    S = len(data.gates)
+    R = cfg.num_routed_wires
+    pts = jnp.asarray(_coset_pts_impl(n))
+    zh_inv = jnp.asarray(_zh_inv_on_coset(h, cfg.rate_bits))
+    k_cosets = jnp.asarray(data.k_cosets)
+    g_pows = jnp.asarray(_domain_pows(h))
+    zh = gl.inv(zh_inv)
+    l1 = gl.mul(gl.mul(zh, gl.inv(gl.sub(pts, jnp.uint64(1)))),
+                jnp.uint64(gl.h_inv(h % gl.P)))
+    return dict(
+        pts=pts,
+        zh_inv=zh_inv,
+        l1=l1,
+        ident_h=gl.mul(k_cosets[None, :], g_pows[:, None]),   # (h, R)
+        ident_n=gl.mul(k_cosets[:, None], pts[None, :]),      # (R, n)
+        unscale=jnp.asarray(_inv_shift_powers(n)),
+        sigma_T=jnp.asarray(data.sigma_vals.T),               # (h, R)
+        sel_lde=pre_lde[:S],
+        sigma_lde=pre_lde[S:S + R],
+        const_lde=pre_lde[S + R:],
+    )
+
+
 def _make_perm_fn(data: CircuitData):
     cfg = data.config
     h = data.h
     R = cfg.num_routed_wires
     chunk = cfg.perm_chunk_size
     n_chunks = -(-R // chunk)
-    sigma_T = jnp.asarray(data.sigma_vals.T)          # (h, R)
-    k_cosets = jnp.asarray(data.k_cosets)
-    g_pows = jnp.asarray(_domain_pows(h))
 
-    def fn(routed_vals, betas, gammas):
+    def fn(routed_vals, betas, gammas, tables):
+        ident = tables["ident_h"]
+        sigma_T = tables["sigma_T"]
         out = []
-        ident = gl.mul(k_cosets[None, :], g_pows[:, None])
         for i in range(cfg.num_challenges):
             beta, gamma = betas[i], gammas[i]
             num = gl.add(gl.add(routed_vals, gl.mul(beta, ident)), gamma)
@@ -224,24 +254,10 @@ def _make_quotient_fn(data: CircuitData, pre_lde: jnp.ndarray):
     cfg = data.config
     h = data.h
     n = h << cfg.rate_bits
-    S = len(data.gates)
     R = cfg.num_routed_wires
     chunk = cfg.perm_chunk_size
     n_chunks = -(-R // chunk)
     gates = list(data.gates)
-    sel_lde = pre_lde[:S]
-    sigma_lde = pre_lde[S:S + R]
-    const_lde = pre_lde[S + R:]
-    pts = jnp.asarray(_coset_pts_impl(n))
-    zh_inv = jnp.asarray(_zh_inv_on_coset(h, cfg.rate_bits))
-    k_cosets = jnp.asarray(data.k_cosets)
-    unscale = jnp.asarray(_inv_shift_powers(n))
-
-    # L1 on the coset: (x^h - 1) / (h (x - 1)), computed once on device
-    zh = gl.inv(zh_inv)
-    l1 = gl.mul(gl.mul(zh, gl.inv(gl.sub(pts, jnp.uint64(1)))),
-                jnp.uint64(gl.h_inv(h % gl.P)))
-
     pad_cols = n_chunks * chunk - R
 
     def _chunk_prods(mat):
@@ -255,14 +271,21 @@ def _make_quotient_fn(data: CircuitData, pre_lde: jnp.ndarray):
             acc = gl.mul(acc, m[:, j])
         return acc
 
-    def fn(wire_lde, aux_lde, pi_hash, betas, gammas, alphas):
+    def fn(wire_lde, aux_lde, pi_hash, betas, gammas, alphas, tables):
+        sel_lde = tables["sel_lde"]
+        sigma_lde = tables["sigma_lde"]
+        const_lde = tables["const_lde"]
+        ident = tables["ident_n"]
+        zh_inv = tables["zh_inv"]
+        l1 = tables["l1"]
+        unscale = tables["unscale"]
+
         blocks = []
         for gi, gate in enumerate(gates):
             cs = eval_gate_stacked(gate, wire_lde, const_lde, pi_hash)
             blocks.append(gl.mul(sel_lde[gi][None, :], cs))
         gate_terms = jnp.concatenate(blocks, axis=0)   # (Tg, n)
 
-        ident = gl.mul(k_cosets[:, None], pts[None, :])  # (R, n)
         out_cols = []
         per_ch = 1 + n_chunks
         for i in range(cfg.num_challenges):
@@ -306,9 +329,9 @@ def _make_quotient_fn(data: CircuitData, pre_lde: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def _make_codeword_fn():
-    def fn(all_lde, open_z, open_gz, zeta, gzeta, alpha):
+    def fn(all_lde, open_z, open_gz, zeta, gzeta, alpha, tables):
         C, n = all_lde.shape
-        pts = jnp.asarray(_coset_pts_impl(n))
+        pts = tables["pts"]
 
         def pow_scan(carry, _):
             return ee.mul(carry, alpha), carry
@@ -376,7 +399,8 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
 
     with tt.scope("permutation argument"):
         aux_cols = pre["perm_fn"](trace[:, :cfg.num_routed_wires],
-                                  jnp.asarray(betas), jnp.asarray(gammas))
+                                  jnp.asarray(betas), jnp.asarray(gammas),
+                                  pre["tables"])
         aux_coeffs = ifft(aux_cols)
         aux_lde = coset_lde(aux_coeffs, cfg.rate_bits)
         aux_tree = _column_tree(aux_lde, cfg.cap_height)
@@ -386,7 +410,8 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
     with tt.scope("quotient"):
         quotient_cols = pre["quotient_fn"](
             wire_lde, aux_lde, jnp.asarray(pi_hash),
-            jnp.asarray(betas), jnp.asarray(gammas), jnp.asarray(alphas))
+            jnp.asarray(betas), jnp.asarray(gammas), jnp.asarray(alphas),
+            pre["tables"])
         quot_coeffs = ifft(quotient_cols)
         quot_lde = coset_lde(quot_coeffs, cfg.rate_bits)
         quot_tree = _column_tree(quot_lde, cfg.cap_height)
@@ -419,7 +444,7 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
                                   axis=0)
         codeword = pre["codeword_fn"](all_lde, jnp.asarray(open_z),
                                       jnp.asarray(open_gz), zeta, gzeta,
-                                      fri_alpha)
+                                      fri_alpha, pre["tables"])
 
     fcfg = fri.FriConfig(rate_bits=cfg.rate_bits,
                          arity_bits=cfg.fri_arity_bits,
