@@ -251,6 +251,13 @@ def _make_perm_fn(data: CircuitData):
 # ---------------------------------------------------------------------------
 
 def _make_quotient_fn(data: CircuitData, pre_lde: jnp.ndarray):
+    """Constraint evaluation + quotient, streamed over domain segments.
+
+    The naive form stacks every filtered constraint over the whole LDE
+    domain (~600 columns x n points — multi-GB at h=2^15), so the domain
+    is processed in segments under lax.map: one compiled segment body,
+    bounded memory, identical results.
+    """
     cfg = data.config
     h = data.h
     n = h << cfg.rate_bits
@@ -259,51 +266,48 @@ def _make_quotient_fn(data: CircuitData, pre_lde: jnp.ndarray):
     n_chunks = -(-R // chunk)
     gates = list(data.gates)
     pad_cols = n_chunks * chunk - R
+    per_ch = 1 + n_chunks
+    # segment count: keep segments >= 2^14 points and <= 64 segments
+    n_seg = max(1, min(64, n // (1 << 14)))
+    assert n % n_seg == 0
+    m = n // n_seg
 
     def _chunk_prods(mat):
-        """(R, n) factors -> (n_chunks, n) per-chunk products."""
         if pad_cols:
             mat = jnp.concatenate(
                 [mat, jnp.ones((pad_cols, mat.shape[1]), jnp.uint64)], axis=0)
-        m = mat.reshape(n_chunks, chunk, -1)
-        acc = m[:, 0]
+        mm = mat.reshape(n_chunks, chunk, -1)
+        acc = mm[:, 0]
         for j in range(1, chunk):
-            acc = gl.mul(acc, m[:, j])
+            acc = gl.mul(acc, mm[:, j])
         return acc
 
-    def fn(wire_lde, aux_lde, pi_hash, betas, gammas, alphas, tables):
-        sel_lde = tables["sel_lde"]
-        sigma_lde = tables["sigma_lde"]
-        const_lde = tables["const_lde"]
-        ident = tables["ident_n"]
-        zh_inv = tables["zh_inv"]
-        l1 = tables["l1"]
-        unscale = tables["unscale"]
-
+    def _segment(seg):
+        (w_seg, aux_seg, auxn_seg, sel_seg, sig_seg, const_seg, ident_seg,
+         zhinv_seg, l1_seg, pi_hash, betas, gammas, alphas) = seg
         blocks = []
         for gi, gate in enumerate(gates):
-            cs = eval_gate_stacked(gate, wire_lde, const_lde, pi_hash)
-            blocks.append(gl.mul(sel_lde[gi][None, :], cs))
-        gate_terms = jnp.concatenate(blocks, axis=0)   # (Tg, n)
+            cs = eval_gate_stacked(gate, w_seg, const_seg, pi_hash)
+            blocks.append(gl.mul(sel_seg[gi][None, :], cs))
+        gate_terms = jnp.concatenate(blocks, axis=0)
 
-        out_cols = []
-        per_ch = 1 + n_chunks
+        outs = []
         for i in range(cfg.num_challenges):
             beta, gamma, alpha = betas[i], gammas[i], alphas[i]
-            z = aux_lde[i * per_ch]
-            partials = aux_lde[i * per_ch + 1:(i + 1) * per_ch]  # (nc, n)
-            z_next = jnp.roll(z, -(1 << cfg.rate_bits))
+            z = aux_seg[i * per_ch]
+            partials = aux_seg[i * per_ch + 1:(i + 1) * per_ch]
+            z_next = auxn_seg[i * per_ch]
 
-            wv = wire_lde[:R]
-            num_all = gl.add(gl.add(wv, gl.mul(beta, ident)), gamma)
-            den_all = gl.add(gl.add(wv, gl.mul(beta, sigma_lde)), gamma)
-            num_prods = _chunk_prods(num_all)          # (nc, n)
+            wv = w_seg[:R]
+            num_all = gl.add(gl.add(wv, gl.mul(beta, ident_seg)), gamma)
+            den_all = gl.add(gl.add(wv, gl.mul(beta, sig_seg)), gamma)
+            num_prods = _chunk_prods(num_all)
             den_prods = _chunk_prods(den_all)
             prev = jnp.concatenate([z[None, :], partials[:-1]], axis=0)
             chunk_terms = gl.sub(gl.mul(partials, den_prods),
                                  gl.mul(prev, num_prods))
 
-            l1_term = gl.mul(l1, gl.sub(z, jnp.uint64(1)))[None, :]
+            l1_term = gl.mul(l1_seg, gl.sub(z, jnp.uint64(1)))[None, :]
             wrap = gl.sub(z_next, partials[-1])[None, :]
             all_terms = jnp.concatenate(
                 [gate_terms, l1_term, chunk_terms, wrap], axis=0)
@@ -311,14 +315,40 @@ def _make_quotient_fn(data: CircuitData, pre_lde: jnp.ndarray):
             def horner(carry, t):
                 return gl.add(gl.mul(carry, alpha), t), None
 
-            acc, _ = jax.lax.scan(horner, jnp.zeros((n,), jnp.uint64),
+            acc, _ = jax.lax.scan(horner, jnp.zeros((m,), jnp.uint64),
                                   all_terms, reverse=True)
-            t_evals = gl.mul(acc, zh_inv)
+            outs.append(gl.mul(acc, zhinv_seg))
+        return jnp.stack(outs, axis=0)           # (num_ch, m)
 
-            t_coeffs = gl.mul(ifft(t_evals), unscale)
+    def _seg_split(arr):
+        """(cols, n) -> (n_seg, cols, m)"""
+        return jnp.moveaxis(arr.reshape(arr.shape[0], n_seg, m), 1, 0)
+
+    def fn(wire_lde, aux_lde, pi_hash, betas, gammas, alphas, tables):
+        aux_next = jnp.roll(aux_lde, -(1 << cfg.rate_bits), axis=1)
+        segs = (
+            _seg_split(wire_lde),
+            _seg_split(aux_lde),
+            _seg_split(aux_next),
+            _seg_split(tables["sel_lde"]),
+            _seg_split(tables["sigma_lde"]),
+            _seg_split(tables["const_lde"]),
+            _seg_split(tables["ident_n"]),
+            tables["zh_inv"].reshape(n_seg, m),
+            tables["l1"].reshape(n_seg, m),
+            jnp.broadcast_to(pi_hash, (n_seg, 4)),
+            jnp.broadcast_to(betas, (n_seg, *betas.shape)),
+            jnp.broadcast_to(gammas, (n_seg, *gammas.shape)),
+            jnp.broadcast_to(alphas, (n_seg, *alphas.shape)),
+        )
+        t_seg = jax.lax.map(_segment, segs)      # (n_seg, num_ch, m)
+        t_evals = jnp.moveaxis(t_seg, 0, 1).reshape(cfg.num_challenges, n)
+
+        out_cols = []
+        for i in range(cfg.num_challenges):
+            t_coeffs = gl.mul(ifft(t_evals[i]), tables["unscale"])
             for j in range(1 << cfg.rate_bits):
                 out_cols.append(t_coeffs[j * h:(j + 1) * h])
-
         return fft(jnp.stack(out_cols, axis=0))
 
     return jax.jit(fn)
