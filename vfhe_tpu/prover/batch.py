@@ -44,15 +44,20 @@ class BatchedTree:
         return np.asarray(self.levels[-1])
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _batched_tree_levels(leaves: jnp.ndarray, cap_height: int):
+    levels = [HP.hash_no_pad(leaves)]
+    while levels[-1].shape[1] > (1 << cap_height):
+        cur = levels[-1]
+        levels.append(HP.two_to_one(cur[:, 0::2], cur[:, 1::2]))
+    return tuple(levels)
+
+
 def batched_tree(leaf_data: jnp.ndarray, cap_height: int = 4) -> BatchedTree:
     leaves = jnp.asarray(leaf_data, jnp.uint64)
     n = leaves.shape[1]
     cap_height = min(cap_height, int(np.log2(n)))
-    digests = HP.hash_no_pad_jit(leaves)
-    levels = [digests]
-    while levels[-1].shape[1] > (1 << cap_height):
-        cur = levels[-1]
-        levels.append(HP.two_to_one_jit(cur[:, 0::2], cur[:, 1::2]))
+    levels = list(_batched_tree_levels(leaves, cap_height))
     return BatchedTree(leaf_data=leaves, levels=levels)
 
 

@@ -32,16 +32,28 @@ class MerkleTree:
         return self.levels[-1]
 
 
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _tree_levels(leaves: jnp.ndarray, cap_height: int):
+    """Leaf hashing + every compression level in ONE compiled function
+    (one jit per leaf shape instead of one per level — each separate
+    compile costs minutes over the remote-compile tunnel)."""
+    levels = [H.hash_no_pad(leaves)]
+    while levels[-1].shape[0] > (1 << cap_height):
+        cur = levels[-1]
+        levels.append(H.two_to_one(cur[0::2], cur[1::2]))
+    return tuple(levels)
+
+
 def build(leaf_data: jnp.ndarray, cap_height: int = 4) -> MerkleTree:
     leaves = jnp.asarray(leaf_data, jnp.uint64)
     n = leaves.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
     cap_height = min(cap_height, int(np.log2(n)))
-    digests = H.hash_no_pad_jit(leaves)
-    levels = [digests]
-    while levels[-1].shape[0] > (1 << cap_height):
-        cur = levels[-1]
-        levels.append(H.two_to_one_jit(cur[0::2], cur[1::2]))
+    levels = list(_tree_levels(leaves, cap_height))
     return MerkleTree(leaf_data=leaves, levels=levels, cap_height=cap_height)
 
 
