@@ -25,10 +25,21 @@ Layer map (mirrors SURVEY.md section 1, re-architected TPU-first):
     vfhe_tpu.utils      timing trees, logging, config
 """
 
+import os as _os
+
 import jax as _jax
 
 # The whole framework computes in uint64 Goldilocks arithmetic; 64-bit types
 # must be enabled before any jax array is created.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: prover kernels are compiled once per circuit
+# shape, and (remote) TPU compiles are expensive — cache them across
+# processes unless the user already configured a cache.
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/vfhe_tpu_jax"))
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
