@@ -106,16 +106,28 @@ def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
 
     Overwrite-mode absorption in rate-8 chunks then squeeze 4 elements,
     mirroring plonky2's hash_n_to_m_no_pad (used by the reference via
-    hash_n_to_hash_no_pad, ivc_based_vpbs.rs:128).
+    hash_n_to_hash_no_pad, ivc_based_vpbs.rs:128). Full chunks absorb
+    under ONE lax.scan (long inputs like the public-input vector must not
+    unroll hundreds of permutations into the graph).
     """
     inputs = jnp.asarray(inputs, jnp.uint64)
     batch = inputs.shape[:-1]
     length = inputs.shape[-1]
+    full = length // C.RATE
     state = jnp.zeros((*batch, C.WIDTH), jnp.uint64)
-    for start in range(0, length, C.RATE):
-        chunk = inputs[..., start:start + C.RATE]
-        w = chunk.shape[-1]
-        state = jnp.concatenate([chunk, state[..., w:]], axis=-1)
+    if full:
+        chunks = inputs[..., :full * C.RATE].reshape(*batch, full, C.RATE)
+        chunks = jnp.moveaxis(chunks, -2, 0)          # (full, ..., 8)
+
+        def body(s, chunk):
+            s = jnp.concatenate([chunk, s[..., C.RATE:]], axis=-1)
+            return permute(s), None
+
+        state, _ = jax.lax.scan(body, state, chunks)
+    rem = length - full * C.RATE
+    if rem:
+        chunk = inputs[..., full * C.RATE:]
+        state = jnp.concatenate([chunk, state[..., rem:]], axis=-1)
         state = permute(state)
     return state[..., :HASH_OUT_ELTS]
 
