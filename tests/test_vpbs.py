@@ -97,3 +97,33 @@ def test_batched_vpbs_chains():
         m_out = cglwe.decrypt(out_cts[bi], s_to)
         neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
         check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)
+
+
+@pytest.mark.slow
+def test_fast_path_matches_sequential():
+    """verified_pbs_fast (native chain + batched steps) must produce the
+    same public-input chain as the sequential prover and pass verify."""
+    from vfhe_tpu.ivc import verified_pbs_fast
+    p = TEST_PARAMS
+    k1, k2, k3, k4, k5 = jax.random.split(KEY, 5)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    m = 3
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(delta, m), 0.0)
+
+    out_f, proofs_f, sc = verified_pbs_fast(ct, testv, bsk, ksk, p,
+                                            config=TEST_CONFIG, batch_size=2)
+    out_s, proofs_s, _ = verified_pbs(ct, testv, bsk, ksk, p,
+                                      config=TEST_CONFIG)
+    assert (np.asarray(out_f) == np.asarray(out_s)).all()
+    for a, b in zip(proofs_f, proofs_s):
+        assert (a.public_inputs == b.public_inputs).all()
+    verify_pbs(out_f, ct, testv, bsk, ksk, proofs_f, sc)
+    m_out = cglwe.decrypt(out_f, s_to)
+    neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
+    check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)

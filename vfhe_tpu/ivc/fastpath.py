@@ -1,0 +1,149 @@
+"""Native chain-state computation + fully batched PBS proving.
+
+The reference's proving loop is sequential BY CONSTRUCTION because step
+t verifies step t-1's proof in-circuit (SURVEY.md section 2). In the
+round-1 chain mode, step t only consumes step t-1's public VALUES
+(accumulator + hash-chain digests) — and those are exactly the native
+blind-rotation intermediates, computable in milliseconds by the crypto
+layer (which is bit-exact with the circuit; tested). So:
+
+  1. run the whole PBS natively, recording every step's inputs;
+  2. prove ALL n+2 steps in lock-step batches with prove_batch.
+
+That converts the 730-step latency chain into a throughput problem —
+the TPU-native win the reference cannot express. (When in-circuit
+recursion lands, this fast path still computes witnesses; only the
+proof-dependency becomes sequential again — mitigated by cross-
+ciphertext batching.)
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..crypto import poly as cpoly, lwe as clwe, ggsw as cggsw
+from ..circuit import CircuitConfig, PartialWitness, STANDARD_CONFIG
+from ..hashing import poseidon as HP
+from ..prover.batch import prove_batch
+from ..utils.timing import TimingTree
+from .vpbs import VpbsParams, get_step_circuit, _pis
+
+log = logging.getLogger("vfhe_tpu")
+
+
+def native_step(acc_in: jnp.ndarray, ggsw_hat: jnp.ndarray, mask: int,
+                counter: int, params: VpbsParams) -> jnp.ndarray:
+    """One step of the universal circuit, natively (bit-exact with
+    build_step_circuit's witness; ref: ivc_based_vpbs.rs:103-124)."""
+    p = params
+    first = counter == 1
+    last = counter == p.n + 2
+    m = gl.h_neg(mask) if first else mask
+    shift = int(clwe.mod_switch_element(jnp.uint64(m), p.N))
+    rot = cpoly.rotate_monomial(acc_in, shift)
+    if first:
+        return rot
+    diff = gl.sub(rot, acc_in)
+    xin = acc_in if last else diff
+    xout = cggsw.external_product(ggsw_hat, xin, p.LOGB)
+    return xout if last else gl.add(xout, acc_in)
+
+
+def compute_chain(ct, testv, bsk, ksk, params: VpbsParams):
+    """All per-step inputs for a PBS chain, natively.
+
+    Returns (accs: list of n+3 accumulator states (K, N) — index t is the
+    input of step t; bsk_digests, lwe_digests: per-step hash-chain
+    outputs)."""
+    p = params
+    ct = np.asarray(ct, dtype=np.uint64)
+    acc = jnp.asarray(np.concatenate(
+        [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
+        .reshape(p.K, p.N))
+    dummy = cggsw.dummy_ct(p.N, p.K, p.ELL)
+
+    accs = [acc]
+    bsk_digs, lwe_digs = [], []
+    bsk_h = [0, 0, 0, 0]
+    lwe_h = [0, 0, 0, 0]
+    for step in range(p.num_steps):
+        if step == 0:
+            g, mask = dummy, int(ct[p.n])
+        elif step <= p.n:
+            g, mask = bsk[step - 1], int(ct[step - 1])
+        else:
+            g, mask = ksk, 0
+        acc = native_step(acc, g, mask, step + 1, p)
+        accs.append(acc)
+        bsk_h = HP.hash_no_pad_host(
+            bsk_h + [int(x) for x in np.asarray(g).reshape(-1)])
+        lwe_h = HP.hash_no_pad_host(lwe_h + [mask])
+        bsk_digs.append(list(bsk_h))
+        lwe_digs.append(list(lwe_h))
+    return accs, bsk_digs, lwe_digs
+
+
+def verified_pbs_fast(ct, testv, bsk, ksk, params: VpbsParams,
+                      config: CircuitConfig = STANDARD_CONFIG,
+                      batch_size: int = 8):
+    """Prove one PBS with every step batched (native chain precompute).
+
+    Returns (out_ct, proofs, step_circuit) — same contract as
+    verified_pbs; verify with verify_pbs."""
+    p = params
+    sc = get_step_circuit(p, config)
+    ct = np.asarray(ct, dtype=np.uint64)
+    bsk_np = np.asarray(bsk)
+    ksk_np = np.asarray(ksk)
+    dummy = np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL))
+    acc_init_vals = np.concatenate(
+        [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
+
+    tt = TimingTree("verified_pbs_fast")
+    with tt.scope("native chain"):
+        accs, bsk_digs, lwe_digs = compute_chain(ct, testv, bsk, ksk, p)
+
+    def make_pw(step: int) -> PartialWitness:
+        pw = PartialWitness()
+        sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
+        pw.set_target(sc.t_counter, step + 1)
+        if step == 0:
+            g, mask = dummy, int(ct[p.n])
+            hin = ([0] * 4, [0] * 4)
+        elif step <= p.n:
+            g, mask = bsk_np[step - 1], int(ct[step - 1])
+            hin = (bsk_digs[step - 1], lwe_digs[step - 1])
+        else:
+            g, mask = ksk_np, 0
+            hin = (bsk_digs[step - 1], lwe_digs[step - 1])
+        sc.t_ggsw.assign(pw, g)
+        pw.set_target(sc.t_mask, mask)
+        sc.t_acc_in.assign(pw, np.asarray(accs[step]))
+        pw.set_target_arr(sc.t_bsk_hash_in, np.array(hin[0], np.uint64))
+        pw.set_target_arr(sc.t_lwe_hash_in, np.array(hin[1], np.uint64))
+        return pw
+
+    proofs = [None] * p.num_steps
+    with tt.scope("batched proving"):
+        for start in range(0, p.num_steps, batch_size):
+            idxs = list(range(start, min(start + batch_size, p.num_steps)))
+            with tt.scope(f"steps {idxs[0]}..{idxs[-1]}"):
+                batch = prove_batch(sc.data, [make_pw(i) for i in idxs],
+                                    timing=tt)
+            for i, pr in zip(idxs, batch):
+                proofs[i] = pr
+    tt.done()
+
+    # consistency: circuit-produced chain values match the native ones
+    lay = sc.layout
+    final = proofs[-1]
+    out = np.asarray(_pis(final, lay.latest_acc),
+                     dtype=np.uint64).reshape(p.K, p.N)
+    assert (out == np.asarray(accs[-1])).all(), \
+        "circuit/native chain divergence"
+    return jnp.asarray(out), proofs, sc

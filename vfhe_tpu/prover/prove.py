@@ -178,11 +178,23 @@ def _ext_inv_vec(dv: jnp.ndarray) -> jnp.ndarray:
                       gl.mul(gl.neg(dv[..., 1]), ninv)], axis=-1)
 
 
+@jax.jit
+def _tables_device(pts, zh_inv, k_cosets, g_pows, h_inv):
+    zh = gl.inv(zh_inv)
+    l1 = gl.mul(gl.mul(zh, gl.inv(gl.sub(pts, jnp.uint64(1)))), h_inv)
+    return dict(
+        l1=l1,
+        ident_h=gl.mul(k_cosets[None, :], g_pows[:, None]),
+        ident_n=gl.mul(k_cosets[:, None], pts[None, :]),
+    )
+
+
 def _make_tables(data: CircuitData, pre_lde: jnp.ndarray) -> dict:
     """Device-resident constant tables, passed as ARGUMENTS to the jitted
     prover kernels. Closing over multi-hundred-MB constants instead makes
     XLA attempt compile-time constant folding over them (observed as
-    pathological compile times at h=2^15)."""
+    pathological compile times at h=2^15). Computed in one jit call (each
+    eager op would be its own remote compile)."""
     cfg = data.config
     h = data.h
     n = h << cfg.rate_bits
@@ -190,19 +202,17 @@ def _make_tables(data: CircuitData, pre_lde: jnp.ndarray) -> dict:
     R = cfg.num_routed_wires
     pts = jnp.asarray(_coset_pts_impl(n))
     zh_inv = jnp.asarray(_zh_inv_on_coset(h, cfg.rate_bits))
-    k_cosets = jnp.asarray(data.k_cosets)
-    g_pows = jnp.asarray(_domain_pows(h))
-    zh = gl.inv(zh_inv)
-    l1 = gl.mul(gl.mul(zh, gl.inv(gl.sub(pts, jnp.uint64(1)))),
-                jnp.uint64(gl.h_inv(h % gl.P)))
+    dev = _tables_device(pts, zh_inv, jnp.asarray(data.k_cosets),
+                         jnp.asarray(_domain_pows(h)),
+                         jnp.uint64(gl.h_inv(h % gl.P)))
     return dict(
         pts=pts,
         zh_inv=zh_inv,
-        l1=l1,
-        ident_h=gl.mul(k_cosets[None, :], g_pows[:, None]),   # (h, R)
-        ident_n=gl.mul(k_cosets[:, None], pts[None, :]),      # (R, n)
+        l1=dev["l1"],
+        ident_h=dev["ident_h"],
+        ident_n=dev["ident_n"],
         unscale=jnp.asarray(_inv_shift_powers(n)),
-        sigma_T=jnp.asarray(data.sigma_vals.T),               # (h, R)
+        sigma_T=jnp.asarray(data.sigma_vals.T),
         sel_lde=pre_lde[:S],
         sigma_lde=pre_lde[S:S + R],
         const_lde=pre_lde[S + R:],
