@@ -53,49 +53,39 @@ def _mds(state: jnp.ndarray) -> jnp.ndarray:
     return gl._reduce128(hi64 + carry, lo64)
 
 
-def _full_phase(state: jnp.ndarray, rcs: jnp.ndarray):
-    def body(s, rc):
-        out = _mds(_sbox(gl.add(s, rc)))
-        return out, out
-
-    return jax.lax.scan(body, state, rcs)
-
-
-def _partial_phase(state: jnp.ndarray, rcs: jnp.ndarray):
-    def body(s, rc):
-        s = gl.add(s, rc)
-        s = s.at[..., 0].set(_sbox(s[..., 0]))
-        out = _mds(s)
-        return out, out
-
-    return jax.lax.scan(body, state, rcs)
+def _round(state: jnp.ndarray, r: int, rc: np.ndarray) -> jnp.ndarray:
+    state = gl.add(state, jnp.asarray(rc[r]))
+    full = (r < C.HALF_FULL_ROUNDS or
+            r >= C.HALF_FULL_ROUNDS + C.N_PARTIAL_ROUNDS)
+    if full:
+        state = _sbox(state)
+    else:
+        state = state.at[..., 0].set(_sbox(state[..., 0]))
+    return _mds(state)
 
 
 def permute(state: jnp.ndarray) -> jnp.ndarray:
     """The Poseidon permutation on (..., 12) states.
 
-    Rounds run under lax.scan so a permutation contributes a small, shared
-    subgraph to any enclosing jit (compile-time matters: sponges inline
-    many permutations)."""
-    rc = jnp.asarray(C.all_round_constants())  # (30, 12)
-    f = C.HALF_FULL_ROUNDS
-    p = C.N_PARTIAL_ROUNDS
-    state, _ = _full_phase(state, rc[:f])
-    state, _ = _partial_phase(state, rc[f:f + p])
-    state, _ = _full_phase(state, rc[f + p:])
+    Rounds are UNROLLED (~600 HLO ops): sponges scan over rate-chunks, so
+    only one permutation body ever inlines per scan — and unrolling beats
+    a nested rounds-scan by ~100x in sequential-chain witness time (the
+    per-iteration scan overhead dominated at (12,)-sized states)."""
+    rc = C.all_round_constants()
+    for r in range(C.N_ROUNDS):
+        state = _round(state, r, rc)
     return state
 
 
 def permute_all_states(state: jnp.ndarray) -> jnp.ndarray:
     """(..., 12) -> (30, ..., 12): the state after every round (the
     witness layout the Poseidon gates expose)."""
-    rc = jnp.asarray(C.all_round_constants())
-    f = C.HALF_FULL_ROUNDS
-    p = C.N_PARTIAL_ROUNDS
-    state, s1 = _full_phase(state, rc[:f])
-    state, s2 = _partial_phase(state, rc[f:f + p])
-    state, s3 = _full_phase(state, rc[f + p:])
-    return jnp.concatenate([s1, s2, s3], axis=0)
+    rc = C.all_round_constants()
+    out = []
+    for r in range(C.N_ROUNDS):
+        state = _round(state, r, rc)
+        out.append(state)
+    return jnp.stack(out, axis=0)
 
 
 permute_jit = jax.jit(permute)

@@ -73,12 +73,13 @@ def batched_open_path(tree: BatchedTree, b: int, index: int):
 def batched_open_paths_bulk(tree: BatchedTree, b: int, indices):
     """Bulk path opening: one device gather per level."""
     idxs = np.asarray(indices, dtype=np.int64)
-    rows = np.asarray(tree.leaf_data[b][jnp.asarray(idxs)])
-    sib_levels = []
+    fetch = [tree.leaf_data[b][jnp.asarray(idxs)]]
     cur = idxs.copy()
     for level in tree.levels[:-1]:
-        sib_levels.append(np.asarray(level[b][jnp.asarray(cur ^ 1)]))
+        fetch.append(level[b][jnp.asarray(cur ^ 1)])
         cur >>= 1
+    host = jax.device_get(fetch)
+    rows, sib_levels = host[0], host[1:]
     return [(rows[qi], [lvl[qi] for lvl in sib_levels])
             for qi in range(len(idxs))]
 

@@ -72,14 +72,16 @@ def open_paths_bulk(tree: MerkleTree, indices):
     """Open many paths with ONE device gather per level (tiny per-element
     device->host fetches dominate query time otherwise, especially over
     the axon tunnel). Returns [(leaf_row, siblings)] per index."""
+    import jax
     import jax.numpy as jnp
     idxs = np.asarray(indices, dtype=np.int64)
-    rows = np.asarray(tree.leaf_data[jnp.asarray(idxs)])
-    sib_levels = []
+    fetch = [tree.leaf_data[jnp.asarray(idxs)]]
     cur = idxs.copy()
     for level in tree.levels[:-1]:
-        sib_levels.append(np.asarray(level[jnp.asarray(cur ^ 1)]))
+        fetch.append(level[jnp.asarray(cur ^ 1)])
         cur >>= 1
+    host = jax.device_get(fetch)      # ONE device->host transfer
+    rows, sib_levels = host[0], host[1:]
     out = []
     for qi in range(len(idxs)):
         out.append((rows[qi], [lvl[qi] for lvl in sib_levels]))
