@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--test-config", action="store_true",
                     help="reduced FRI queries (faster, lower soundness)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="persist/resume per-step proofs here")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -82,7 +84,8 @@ def main(argv=None) -> int:
     t0 = time.time()
     out_ct, proofs, sc = verified_pbs(
         ct, testv, bsk, ksk, params, config=config,
-        debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to)
+        debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to,
+        checkpoint_dir=args.checkpoint_dir)
     log.info("proved %d steps in %.2fs", len(proofs), time.time() - t0)
 
     t0 = time.time()

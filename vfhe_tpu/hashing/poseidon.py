@@ -64,22 +64,47 @@ def _round(state: jnp.ndarray, r: int, rc: np.ndarray) -> jnp.ndarray:
     return _mds(state)
 
 
-def permute(state: jnp.ndarray) -> jnp.ndarray:
-    """The Poseidon permutation on (..., 12) states.
-
-    Rounds are UNROLLED (~600 HLO ops): sponges scan over rate-chunks, so
-    only one permutation body ever inlines per scan — and unrolling beats
-    a nested rounds-scan by ~100x in sequential-chain witness time (the
-    per-iteration scan overhead dominated at (12,)-sized states)."""
+def permute_unrolled(state: jnp.ndarray) -> jnp.ndarray:
+    """Rounds unrolled (~600 HLO): fastest for SEQUENTIAL chains (scan
+    bodies over rate chunks), where per-iteration scan overhead dominates
+    at (12,)-sized states. Use the scan-based :func:`permute` inside
+    functions that inline MANY permutations (tree levels) — huge unrolled
+    graphs compile pathologically."""
     rc = C.all_round_constants()
     for r in range(C.N_ROUNDS):
         state = _round(state, r, rc)
     return state
 
 
+def _scan_phase(state, rcs, partial: bool):
+    def body(s, rc):
+        s = gl.add(s, rc)
+        if partial:
+            s = s.at[..., 0].set(_sbox(s[..., 0]))
+        else:
+            s = _sbox(s)
+        out = _mds(s)
+        return out, out
+
+    return jax.lax.scan(body, state, rcs)
+
+
+def permute(state: jnp.ndarray) -> jnp.ndarray:
+    """The Poseidon permutation on (..., 12) states (scan-based rounds:
+    small shared subgraph for enclosing jits that inline many calls)."""
+    rc = jnp.asarray(C.all_round_constants())
+    f = C.HALF_FULL_ROUNDS
+    p = C.N_PARTIAL_ROUNDS
+    state, _ = _scan_phase(state, rc[:f], False)
+    state, _ = _scan_phase(state, rc[f:f + p], True)
+    state, _ = _scan_phase(state, rc[f + p:], False)
+    return state
+
+
 def permute_all_states(state: jnp.ndarray) -> jnp.ndarray:
     """(..., 12) -> (30, ..., 12): the state after every round (the
-    witness layout the Poseidon gates expose)."""
+    witness layout the Poseidon gates expose). Unrolled: used once inside
+    the witness sponge scan body."""
     rc = C.all_round_constants()
     out = []
     for r in range(C.N_ROUNDS):
@@ -109,9 +134,11 @@ def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
         chunks = inputs[..., :full * C.RATE].reshape(*batch, full, C.RATE)
         chunks = jnp.moveaxis(chunks, -2, 0)          # (full, ..., 8)
 
+        perm = permute_unrolled if len(batch) == 0 else permute
+
         def body(s, chunk):
             s = jnp.concatenate([chunk, s[..., C.RATE:]], axis=-1)
-            return permute(s), None
+            return perm(s), None
 
         state, _ = jax.lax.scan(body, state, chunks)
     rem = length - full * C.RATE
