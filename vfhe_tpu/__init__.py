@@ -43,3 +43,13 @@ if _jax.config.jax_compilation_cache_dir is None:
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API: vfhe_tpu.crypto, vfhe_tpu.prover, ... without
+    # importing the whole stack at package import
+    import importlib
+    if name in ("field", "ntt", "crypto", "hashing", "circuit", "gadgets",
+                "prover", "ivc", "parallel", "utils", "runtime"):
+        return importlib.import_module(f"vfhe_tpu.{name}")
+    raise AttributeError(name)

@@ -57,13 +57,6 @@ class CircuitData:
             pw.initial_vector(self))))
 
 
-def _pad_rows(mat: np.ndarray, width: int, fill) -> np.ndarray:
-    if mat.shape[1] == width:
-        return mat
-    pad = np.full((mat.shape[0], width - mat.shape[1]), fill, dtype=mat.dtype)
-    return np.concatenate([mat, pad], axis=1)
-
-
 def compile_circuit(b: CircuitBuilder, min_rows: int = 0) -> CircuitData:
     cfg = b.config
     zero_t = b.constant(0)

@@ -31,7 +31,6 @@ from ..hashing import poseidon as HP
 from . import fri, merkle
 from .challenger import Challenger
 from .constraints import eval_gate_stacked
-from ..circuit.builder import POS_A, POS_B, POS_C
 from .fft import coset_lde, eval_poly_ext_jit, fft, ifft, COSET_SHIFT
 
 
