@@ -263,6 +263,11 @@ class CircuitBuilder:
         for x, y in zip(_np_idx(xs), _np_idx(ys)):
             self.connect(int(x), int(y))
 
+    def connect_hashes(self, xs, ys) -> None:
+        """Copy-constrain two 4-target digests (plonky2 connect_hashes,
+        used by the reference at ivc_based_vpbs.rs:254-262)."""
+        self.connect_vec(xs, ys)
+
     # ------------------------------------------------------------------ #
     # scalar conveniences (reference builder API surface)
     # ------------------------------------------------------------------ #
