@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--test-config", action="store_true",
                     help="reduced FRI queries (faster, lower soundness)")
+    ap.add_argument("--recursive", action="store_true",
+                    help="cyclic IVC: each step verifies the previous "
+                         "proof in-circuit; ONE O(1) proof per PBS "
+                         "(ivc_based_vpbs.rs:159-386)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="persist/resume per-step proofs here")
     args = ap.parse_args(argv)
@@ -43,7 +47,8 @@ def main(argv=None) -> int:
     from vfhe_tpu.crypto import (poly as cpoly, lwe as clwe, glwe as cglwe,
                                  ggsw as cggsw, compute_bsk, get_testv)
     from vfhe_tpu.circuit import STANDARD_CONFIG, TEST_CONFIG
-    from vfhe_tpu.ivc import VpbsParams, verified_pbs, verify_pbs
+    from vfhe_tpu.ivc import (VpbsParams, verified_pbs, verify_pbs,
+                              verified_pbs_recursive, verify_pbs_recursive)
 
     if args.paper:
         params = VpbsParams()                       # main.rs:22-30
@@ -82,14 +87,23 @@ def main(argv=None) -> int:
     ct = clwe.encrypt(k6, s_lwe, gl.h_mul(delta, m), sigma_lwe)
 
     t0 = time.time()
-    out_ct, proofs, sc = verified_pbs(
-        ct, testv, bsk, ksk, params, config=config,
-        debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to,
-        checkpoint_dir=args.checkpoint_dir)
-    log.info("proved %d steps in %.2fs", len(proofs), time.time() - t0)
-
-    t0 = time.time()
-    verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc)
+    if args.recursive:
+        out_ct, final_proof, sc = verified_pbs_recursive(
+            ct, testv, bsk, ksk, params, config=config,
+            debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to,
+            checkpoint_dir=args.checkpoint_dir)
+        log.info("proved %d steps (one O(1) proof) in %.2fs",
+                 params.num_steps, time.time() - t0)
+        t0 = time.time()
+        verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, final_proof, sc)
+    else:
+        out_ct, proofs, sc = verified_pbs(
+            ct, testv, bsk, ksk, params, config=config,
+            debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to,
+            checkpoint_dir=args.checkpoint_dir)
+        log.info("proved %d steps in %.2fs", len(proofs), time.time() - t0)
+        t0 = time.time()
+        verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc)
     log.info("verified in %.2fs", time.time() - t0)
 
     m_bar = np.asarray(cglwe.decrypt(out_ct, s_to))

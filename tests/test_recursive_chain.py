@@ -1,0 +1,84 @@
+"""End-to-end cyclic IVC: the recursive PBS chain produces ONE O(1)
+proof that verifies with the reference's 3-check verifier shape
+(ref: ivc_based_vpbs.rs:159-489 + test_ivc_blind_rot at :541-579)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vfhe_tpu.field import goldilocks as gl
+from vfhe_tpu.crypto import (poly as cpoly, lwe as clwe, glwe as cglwe,
+                             ggsw as cggsw, compute_bsk)
+from vfhe_tpu.circuit.config import CircuitConfig
+from vfhe_tpu.ivc import (TEST_PARAMS, verified_pbs_recursive,
+                          verify_pbs_recursive)
+from test_vpbs import check_rotation
+
+KEY = jax.random.PRNGKey(77)
+
+# Self-consistent low-soundness config for the cyclic fixpoint test: the
+# recursive circuit verifies proofs of ITSELF, so the verifier-circuit
+# cost (queries x merkle levels) feeds back into its own row count.
+REC_TEST_CONFIG = CircuitConfig(fri_num_queries=4, fri_pow_bits=4,
+                                fri_final_poly_len=32)
+
+
+@pytest.mark.slow
+def test_recursive_vpbs_chain():
+    p = TEST_PARAMS  # n=1, N=8, K=2, ELL=8, LOGB=8 -> 3 steps
+    k1, k2, k3, k4, k5 = jax.random.split(KEY, 5)
+
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    m = 3
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(delta, m), 0.0)
+
+    out_ct, final_proof, sc = verified_pbs_recursive(
+        ct, testv, bsk, ksk, p, config=REC_TEST_CONFIG,
+        debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to)
+
+    # ONE proof for the whole chain — the reference's headline property
+    verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, final_proof, sc)
+
+    m_out = cglwe.decrypt(out_ct, s_to)
+    neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
+    check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)
+
+
+@pytest.mark.slow
+def test_recursive_vpbs_tamper_rejected():
+    """A tampered bsk must break the bsk hash-chain check, and a
+    tampered final proof must fail proof verification."""
+    p = TEST_PARAMS
+    k1, k2, k3, k4, k5 = jax.random.split(KEY, 5)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(gl.P >> 4, 1), 0.0)
+
+    out_ct, final_proof, sc = verified_pbs_recursive(
+        ct, testv, bsk, ksk, p, config=REC_TEST_CONFIG)
+
+    bad_bsk = np.asarray(bsk).copy()
+    bad_bsk[0, 0, 0, 0, 0] += 1
+    with pytest.raises(AssertionError):
+        verify_pbs_recursive(out_ct, ct, testv, jnp.asarray(bad_bsk), ksk,
+                             final_proof, sc)
+
+    import copy
+    bad = copy.deepcopy(final_proof)
+    bad.public_inputs = bad.public_inputs.copy()
+    li = sc.layout.latest_acc[0]
+    bad.public_inputs[li] = (int(bad.public_inputs[li]) + 1) % gl.P
+    with pytest.raises(Exception):
+        verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, bad, sc)

@@ -159,8 +159,11 @@ class CircuitBuilder:
 
     def _arith_vec(self, k0: int, k1: int, a, b, c, out=None) -> np.ndarray:
         """Lanes out = k0*a*b + k1*c. If ``out`` given, it is enforced (its
-        cell holds the existing target); else fresh targets are created."""
-        a, b, c = _np_idx(a), _np_idx(b), _np_idx(c)
+        cell holds the existing target); else fresh targets are created.
+        Accepts any (matching) shapes; the ledger stores flat lanes and the
+        returned array carries the input shape."""
+        shape = _np_idx(a).shape
+        a, b, c = (_np_idx(v).ravel() for v in (a, b, c))
         assert a.shape == b.shape == c.shape
         if out is None:
             out = self.add_virtual_targets(a.size)
@@ -168,10 +171,10 @@ class CircuitBuilder:
             self._ops.append(_WitnessOp("arith", dict(
                 k0=k0 % gl.P, k1=k1 % gl.P, a=a, b=b, c=c, out=out)))
         else:
-            out = _np_idx(out)
+            out = _np_idx(out).ravel()
         key = (k0 % gl.P, k1 % gl.P)
         self._arith_groups.setdefault(key, []).append((a, b, c, out))
-        return out
+        return out.reshape(shape)
 
     def add_vec(self, x, y) -> np.ndarray:
         one = np.full(_np_idx(x).shape, self.one(), dtype=np.int64)
@@ -247,6 +250,197 @@ class CircuitBuilder:
         self._poseidon.append((states, inter))
         return inter[:, 29, :]
 
+    def sponge_vec(self, inputs, init_state=None) -> np.ndarray:
+        """Batched overwrite-mode sponge: (L, n) input targets -> (L, 12)
+        final-state targets. ``init_state``: optional (L, 12) state targets
+        (zeros if None). Full rate-8 chunks are ONE witness op (a lax.scan
+        over chunks of L-wide permutations); the partial last chunk (which
+        keeps ``state[rem:]`` from the previous permutation, plonky2
+        overwrite semantics) is one extra batched permutation.
+
+        This is the shared engine of hash_n_to_hash_no_pad, the in-circuit
+        Fiat-Shamir challenger and the recursive verifier's Merkle leaf
+        hashing (ref: plonky2 hash_n_to_m_no_pad as used at
+        ivc_based_vpbs.rs:128-143)."""
+        inputs = np.asarray(inputs, dtype=np.int64)
+        assert inputs.ndim == 2
+        L, n = inputs.shape
+        z = self.zero()
+        if init_state is None:
+            state = np.full((L, 12), z, dtype=np.int64)
+        else:
+            state = np.asarray(init_state, dtype=np.int64)
+            assert state.shape == (L, 12)
+        full = n // 8
+        if full:
+            chunks = inputs[:, :full * 8].reshape(L, full, 8)
+            states = self.add_virtual_targets(L * full * 30 * 12) \
+                .reshape(L, full, 30, 12)
+            self._defined.update(states.ravel().tolist())
+            in_mat = np.empty((L, full, 12), dtype=np.int64)
+            in_mat[:, :, :8] = chunks
+            in_mat[:, 0, 8:] = state[:, 8:]
+            if full > 1:
+                in_mat[:, 1:, 8:] = states[:, :-1, 29, 8:12]
+            self._ops.append(_WitnessOp("sponge_b", dict(
+                chunks=chunks, init=state, states=states)))
+            self._poseidon.append((in_mat.reshape(L * full, 12),
+                                   states.reshape(L * full, 30, 12)))
+            state = states[:, -1, 29, :].copy()
+        rem = n - full * 8
+        if rem:
+            s_in = state.copy()
+            s_in[:, :rem] = inputs[:, full * 8:]
+            state = self.poseidon_vec(s_in)
+        return state
+
+    def merkle_walk_vec(self, digests, bits, sibs) -> np.ndarray:
+        """Batched dynamic-index Merkle path walk: hash ``digests`` (L, 4)
+        up ``levels`` levels, steered left/right by ``bits`` (levels, L)
+        bool targets against ``sibs`` (levels, L, 4) sibling digests.
+        Returns the (L, 4) digests at the top. ONE witness op (lax.scan
+        over levels); constraint rows are per-level select lanes + batched
+        two_to_one Poseidon rows."""
+        digests = np.asarray(digests, dtype=np.int64)
+        bits = np.asarray(bits, dtype=np.int64)
+        sibs = np.asarray(sibs, dtype=np.int64)
+        levels, L = bits.shape
+        assert digests.shape == (L, 4) and sibs.shape == (levels, L, 4)
+        if levels == 0:
+            return digests
+        z = self.zero()
+        lefts = self.add_virtual_targets(levels * L * 4) \
+            .reshape(levels, L, 4)
+        rights = self.add_virtual_targets(levels * L * 4) \
+            .reshape(levels, L, 4)
+        states = self.add_virtual_targets(levels * L * 30 * 12) \
+            .reshape(levels, L, 30, 12)
+        self._defined.update(lefts.ravel().tolist())
+        self._defined.update(rights.ravel().tolist())
+        self._defined.update(states.ravel().tolist())
+        self._ops.append(_WitnessOp("mwalk", dict(
+            dig0=digests, bits=bits, sibs=sibs, lefts=lefts, rights=rights,
+            states=states)))
+        cur = digests
+        for lvl in range(levels):
+            ctrl = np.broadcast_to(bits[lvl][:, None], (L, 4))
+            # bit == 1 -> right child: left = sib, right = digest
+            self._select.append((ctrl.ravel(), sibs[lvl].ravel(),
+                                 cur.ravel(), lefts[lvl].ravel()))
+            self._select.append((ctrl.ravel(), cur.ravel(),
+                                 sibs[lvl].ravel(), rights[lvl].ravel()))
+            in_mat = np.concatenate(
+                [lefts[lvl], rights[lvl], np.full((L, 4), z, np.int64)],
+                axis=1)
+            self._poseidon.append((in_mat, states[lvl]))
+            cur = states[lvl, :, 29, :4].copy()
+        return cur
+
+    def ext_powers_scan(self, x, count: int) -> np.ndarray:
+        """[1, x, ..., x^{count-1}] for an extension target x (2,), as a
+        (count, 2) target array. ONE witness op (scan); constraints are 4
+        vectorized arithmetic-lane groups enforcing p_i = p_{i-1} * x."""
+        x = np.asarray(x, dtype=np.int64)
+        one2 = np.array([self.one(), self.zero()], dtype=np.int64)
+        if count == 1:
+            return one2[None, :]
+        T = count - 1
+        pows = self.add_virtual_targets(T * 2).reshape(T, 2)
+        t11 = self.add_virtual_targets(T)
+        t01 = self.add_virtual_targets(T)
+        self._defined.update(pows.ravel().tolist())
+        self._defined.update(t11.tolist())
+        self._defined.update(t01.tolist())
+        self._ops.append(_WitnessOp("ext_pows", dict(
+            x=x, pows=pows, t11=t11, t01=t01)))
+        prev = np.concatenate([one2[None, :], pows[:-1]], axis=0)  # (T, 2)
+        x0 = np.full(T, x[0], dtype=np.int64)
+        x1 = np.full(T, x[1], dtype=np.int64)
+        from ..field import extension as _ee
+        # t11 = p1 * x1 ; p0' = p0*x0 + W*t11
+        self._arith_vec(1, 0, prev[:, 1], x1, np.full(T, self.zero()),
+                        out=t11)
+        self._arith_vec(1, _ee.W, prev[:, 0], x0, t11, out=pows[:, 0])
+        # t01 = p0 * x1 ; p1' = p1*x0 + t01
+        self._arith_vec(1, 0, prev[:, 0], x1, np.full(T, self.zero()),
+                        out=t01)
+        self._arith_vec(1, 1, prev[:, 1], x0, t01, out=pows[:, 1])
+        return np.concatenate([one2[None, :], pows], axis=0)
+
+    def ext_horner_scan(self, x, terms) -> np.ndarray:
+        """acc = 0; for t in terms: acc = acc*x + t  — over extension
+        targets (terms: (T, 2); x: (2,)). Callers pass terms in consumption
+        order (i.e. already reversed for a highest-degree-first Horner).
+        ONE witness op; vectorized constraint lanes."""
+        terms = np.asarray(terms, dtype=np.int64)
+        x = np.asarray(x, dtype=np.int64)
+        T = terms.shape[0]
+        assert terms.shape == (T, 2)
+        if T == 1:
+            return terms[0]
+        S = T - 1
+        accs = self.add_virtual_targets(S * 2).reshape(S, 2)
+        t11 = self.add_virtual_targets(S)
+        t01 = self.add_virtual_targets(S)
+        u0 = self.add_virtual_targets(S)
+        u1 = self.add_virtual_targets(S)
+        for arr in (accs.ravel(), t11, t01, u0, u1):
+            self._defined.update(np.asarray(arr).ravel().tolist())
+        self._ops.append(_WitnessOp("ext_horner", dict(
+            x=x, terms=terms, accs=accs, t11=t11, t01=t01, u0=u0, u1=u1)))
+        prev = np.concatenate([terms[0][None, :], accs[:-1]], axis=0)
+        x0 = np.full(S, x[0], dtype=np.int64)
+        x1 = np.full(S, x[1], dtype=np.int64)
+        ones = np.full(S, self.one(), dtype=np.int64)
+        zeros = np.full(S, self.zero(), dtype=np.int64)
+        from ..field import extension as _ee
+        # u0 = a0*x0 + W*t11,  acc0 = u0 + term0
+        self._arith_vec(1, 0, prev[:, 1], x1, zeros, out=t11)
+        self._arith_vec(1, _ee.W, prev[:, 0], x0, t11, out=u0)
+        self._arith_vec(1, 1, u0, ones, terms[1:, 0], out=accs[:, 0])
+        # u1 = a1*x0 + t01,  acc1 = u1 + term1
+        self._arith_vec(1, 0, prev[:, 0], x1, zeros, out=t01)
+        self._arith_vec(1, 1, prev[:, 1], x0, t01, out=u1)
+        self._arith_vec(1, 1, u1, ones, terms[1:, 1], out=accs[:, 1])
+        return accs[-1]
+
+    def cond_assert_eq_vec(self, cond, xs, ys) -> None:
+        """cond * (x - y) == 0 per lane: equality enforced only when the
+        bool target ``cond`` is 1 (the recursion base-case gating device —
+        replaces plonky2's select-a-dummy-proof approach of
+        conditionally_verify_cyclic_proof_or_dummy, ivc_based_vpbs.rs:268)."""
+        xs, ys = _np_idx(xs), _np_idx(ys)
+        d = self.sub_vec(xs.ravel(), ys.ravel())
+        self.cond_assert_zero_vec(cond, d)
+
+    def cond_assert_zero_vec(self, cond, xs) -> None:
+        """cond * x == 0 per lane."""
+        xs = _np_idx(xs).ravel()
+        c = np.full(xs.shape, cond, dtype=np.int64)
+        zero = np.full(xs.shape, self.zero(), dtype=np.int64)
+        self._arith_vec(1, 0, c, xs, zero, out=zero)
+
+    def is_equal_vec(self, xs, ys) -> np.ndarray:
+        """Lane-wise boolean out = (x == y), inverse-witness aux."""
+        xs, ys = _np_idx(xs), _np_idx(ys)
+        assert xs.shape == ys.shape
+        L = xs.size
+        out = self.add_virtual_targets(L)
+        m = self.add_virtual_targets(L)
+        self._defined.update(out.tolist())
+        self._defined.update(m.tolist())
+        self._ops.append(_WitnessOp("eq", dict(a=xs.ravel(), b=ys.ravel(),
+                                               out=out, m=m)))
+        diff = self.sub_vec(xs.ravel(), ys.ravel())
+        zero = np.full(L, self.zero(), dtype=np.int64)
+        one = np.full(L, self.one(), dtype=np.int64)
+        # out * diff == 0
+        self._arith_vec(1, 0, out, diff, zero, out=zero)
+        # m * diff + out == 1
+        md = self.mul_vec(m, diff)
+        self._arith_vec(1, 1, md, one, out, out=one)
+        return out.reshape(xs.shape)
+
     def connect(self, x: int, y: int) -> None:
         x, y = int(x), int(y)
         self._copies.append((x, y))
@@ -319,36 +513,14 @@ class CircuitBuilder:
         Mirrors plonky2's hash_n_to_hash_no_pad used at
         ivc_based_vpbs.rs:128-143.
 
-        All full rate-8 chunks become ONE "sponge" witness op (a
-        lax.scan) — the bsk hash chain alone is ~2k sequential
-        permutations at paper params, which must not unroll into the
-        witness graph. Constraint rows are identical to the chunk-by-
-        chunk form."""
+        All full rate-8 chunks become ONE batched witness op (a
+        lax.scan via sponge_vec) — the bsk hash chain alone is ~2k
+        sequential permutations at paper params, which must not unroll
+        into the witness graph."""
         inputs = _np_idx(inputs)
-        z = self.zero()
-        full = inputs.size // 8
-        if full:
-            chunks = inputs[:full * 8].reshape(full, 8)
-            states = self.add_virtual_targets(full * 30 * 12) \
-                .reshape(full, 30, 12)
-            self._defined.update(states.ravel().tolist())
-            in_mat = np.empty((full, 12), dtype=np.int64)
-            in_mat[:, :8] = chunks
-            in_mat[0, 8:] = z
-            if full > 1:
-                in_mat[1:, 8:] = states[:-1, 29, 8:12]
-            self._ops.append(_WitnessOp("sponge", dict(chunks=chunks,
-                                                       states=states)))
-            self._poseidon.append((in_mat, states))
-            state = states[-1, 29, :].copy()
-        else:
-            state = np.full(12, z, dtype=np.int64)
-        rem = inputs.size - full * 8
-        if rem:
-            s_in = state.copy()
-            s_in[:rem] = inputs[full * 8:]
-            state = self.poseidon_vec(s_in[None, :])[0]
-        return state[:4]
+        if inputs.size == 0:
+            return np.full(4, self.zero(), dtype=np.int64)
+        return self.sponge_vec(inputs[None, :])[0, :4]
 
     # ------------------------------------------------------------------ #
     # build
@@ -369,8 +541,9 @@ class CircuitBuilder:
         rows += 1  # PI gate
         return rows
 
-    def build(self, min_rows: int = 0) -> "CircuitData":
+    def build(self, min_rows: int = 0,
+              witness_host: bool = False) -> "CircuitData":
         from .compile import compile_circuit
         assert not self._built
         self._built = True
-        return compile_circuit(self, min_rows)
+        return compile_circuit(self, min_rows, witness_host=witness_host)

@@ -41,6 +41,7 @@ class CircuitData:
     k_cosets: np.ndarray         # (num_routed,) coset shifts k_c
     pi_targets: np.ndarray       # (num_pis,) int64
     witness_fn: object           # jit: (num_targets+1,) -> (num_targets+1,)
+    copies: list = dfield(default_factory=list)  # copy-constraint pairs
     num_inputs_hint: int = 0
     # prover-side caches (filled lazily by the prover)
     prover_cache: dict = dfield(default_factory=dict)
@@ -57,7 +58,8 @@ class CircuitData:
             pw.initial_vector(self))))
 
 
-def compile_circuit(b: CircuitBuilder, min_rows: int = 0) -> CircuitData:
+def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
+                    witness_host: bool = False) -> CircuitData:
     cfg = b.config
     zero_t = b.constant(0)
     b.constant(1)
@@ -252,13 +254,15 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0) -> CircuitData:
     sigma_vals = np.array(sigma_flat, dtype=np.uint64).reshape(R, h)
 
     # ---- witness function ----------------------------------------------
-    witness_fn = _compile_witness(b, num_targets, zero_slot)
+    witness_fn = _compile_witness(b, num_targets, zero_slot,
+                                  host=witness_host)
 
     return CircuitData(
         config=cfg, h=h, rows_used=rows_used, num_targets=num_targets,
         zero_slot=zero_slot, wire_index=wire_index, row_consts=row_consts,
         selectors=selectors, gates=gates, sigma_vals=sigma_vals,
-        k_cosets=k_cosets, pi_targets=pi_targets, witness_fn=witness_fn)
+        k_cosets=k_cosets, pi_targets=pi_targets, witness_fn=witness_fn,
+        copies=list(b._copies))
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +274,8 @@ def _poseidon_all_states(state: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(HP.permute_all_states(state), 0, 1)
 
 
-def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int):
+def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
+                     host: bool = False):
     const_idx = np.array([t for v, t in sorted(b._const_map.items(),
                                                key=lambda kv: kv[1])],
                          dtype=np.int64)
@@ -311,17 +316,81 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int):
             elif op.kind == "poseidon":
                 states = _poseidon_all_states(w[d["inp"]])
                 w = w.at[d["states"]].set(states)
-            elif op.kind == "sponge":
-                chunks_v = w[d["chunks"]]          # (C, 8)
+            elif op.kind == "sponge_b":
+                chunks_v = w[d["chunks"]]          # (L, C, 8)
+                init_v = w[d["init"]]              # (L, 12)
 
                 def sponge_body(carry_tail, chunk):
-                    s_in = jnp.concatenate([chunk, carry_tail])
-                    all30 = HP.permute_all_states(s_in)   # (30, 12)
-                    return all30[-1, 8:12], all30
+                    s_in = jnp.concatenate([chunk, carry_tail], axis=-1)
+                    all30 = HP.permute_all_states(s_in)   # (30, L, 12)
+                    return all30[-1, :, 8:12], all30
 
                 _, states = jax.lax.scan(
-                    sponge_body, jnp.zeros(4, jnp.uint64), chunks_v)
-                w = w.at[d["states"]].set(states)
+                    sponge_body, init_v[:, 8:12],
+                    jnp.moveaxis(chunks_v, 1, 0))
+                # states: (C, 30, L, 12) -> (L, C, 30, 12)
+                w = w.at[d["states"]].set(jnp.moveaxis(states, 2, 0))
+            elif op.kind == "mwalk":
+                dig_v = w[d["dig0"]]               # (L, 4)
+                bits_v = w[d["bits"]]              # (levels, L)
+                sibs_v = w[d["sibs"]]              # (levels, L, 4)
+                L = dig_v.shape[0]
+
+                def walk_body(dig, lvl):
+                    bit, sib = lvl
+                    is_r = (bit == 1)[:, None]
+                    left = jnp.where(is_r, sib, dig)
+                    right = jnp.where(is_r, dig, sib)
+                    s_in = jnp.concatenate(
+                        [left, right, jnp.zeros((L, 4), jnp.uint64)], axis=-1)
+                    all30 = HP.permute_all_states(s_in)   # (30, L, 12)
+                    return all30[-1, :, :4], (left, right, all30)
+
+                _, (lv, rv, sv) = jax.lax.scan(walk_body, dig_v,
+                                               (bits_v, sibs_v))
+                w = w.at[d["lefts"]].set(lv)
+                w = w.at[d["rights"]].set(rv)
+                w = w.at[d["states"]].set(jnp.moveaxis(sv, 2, 1))
+            elif op.kind == "ext_pows":
+                xv = w[d["x"]]                     # (2,)
+
+                def pow_body(p, _):
+                    t11v = gl.mul(p[1], xv[1])
+                    t01v = gl.mul(p[0], xv[1])
+                    p0 = gl.add(gl.mul(p[0], xv[0]),
+                                gl.mul(jnp.uint64(7), t11v))
+                    p1 = gl.add(gl.mul(p[1], xv[0]), t01v)
+                    nxt = jnp.stack([p0, p1])
+                    return nxt, (nxt, t11v, t01v)
+
+                one2 = jnp.zeros(2, jnp.uint64).at[0].set(1)
+                T = d["pows"].shape[0]
+                _, (pv, t11v, t01v) = jax.lax.scan(pow_body, one2, None,
+                                                   length=T)
+                w = w.at[d["pows"]].set(pv)
+                w = w.at[d["t11"]].set(t11v)
+                w = w.at[d["t01"]].set(t01v)
+            elif op.kind == "ext_horner":
+                xv = w[d["x"]]                     # (2,)
+                terms_v = w[d["terms"]]            # (T, 2)
+
+                def horner_body(acc, term):
+                    t11v = gl.mul(acc[1], xv[1])
+                    t01v = gl.mul(acc[0], xv[1])
+                    u0v = gl.add(gl.mul(acc[0], xv[0]),
+                                 gl.mul(jnp.uint64(7), t11v))
+                    u1v = gl.add(gl.mul(acc[1], xv[0]), t01v)
+                    nxt = jnp.stack([gl.add(u0v, term[0]),
+                                     gl.add(u1v, term[1])])
+                    return nxt, (nxt, t11v, t01v, u0v, u1v)
+
+                _, (av, t11v, t01v, u0v, u1v) = jax.lax.scan(
+                    horner_body, terms_v[0], terms_v[1:])
+                w = w.at[d["accs"]].set(av)
+                w = w.at[d["t11"]].set(t11v)
+                w = w.at[d["t01"]].set(t01v)
+                w = w.at[d["u0"]].set(u0v)
+                w = w.at[d["u1"]].set(u1v)
             elif op.kind == "select":
                 bv, xv, yv = w[d["b"]], w[d["x"]], w[d["y"]]
                 res = gl.add(gl.mul(bv, gl.sub(xv, yv)), yv)
@@ -347,7 +416,20 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int):
                 raise ValueError(op.kind)
         return w
 
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    if not host:
+        return jitted
+
+    # Host mode: witness generation is scatter-heavy straight-line code —
+    # compile and run it on the in-process CPU backend (the remote TPU
+    # compile service SIGKILLs on the recursive step circuit's ~750k-
+    # target graph), then ship the finished vector to the default device.
+    def host_fn(w):
+        cpu = jax.devices("cpu")[0]
+        out = jitted(jax.device_put(np.asarray(w), cpu))
+        return jnp.asarray(np.asarray(out))
+
+    return host_fn
 
 
 class PartialWitness:

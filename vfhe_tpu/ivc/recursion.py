@@ -42,12 +42,11 @@ class RecursiveChallenger:
     def _duplex(self) -> None:
         b = self.b
         if self._inputs:
-            pending = self._inputs
-            for start in range(0, len(pending), 8):
-                chunk = pending[start:start + 8]
-                state = self._state.copy()
-                state[:len(chunk)] = chunk
-                self._state = b.poseidon_vec(state[None, :])[0]
+            pending = np.array(self._inputs, dtype=np.int64)
+            # overwrite-absorb all pending chunks in ONE batched sponge op
+            # (the openings absorb alone is ~70 sequential permutations)
+            self._state = b.sponge_vec(pending[None, :],
+                                       init_state=self._state[None, :])[0]
             self._inputs = []
         else:
             self._state = self.b.poseidon_vec(self._state[None, :])[0]

@@ -65,7 +65,9 @@ TEST_PARAMS = VpbsParams(n=1, N=8, K=2, ELL=8, LOGB=8, p=2)
 @dataclass
 class StepLayout:
     """Public-input index ranges of the step circuit (the reference
-    computes the same ranges at ivc_based_vpbs.rs:196-207, 409-419)."""
+    computes the same ranges at ivc_based_vpbs.rs:196-207, 409-419).
+    In recursive mode the layout gains a trailing verifier-data section
+    (add_verifier_data_public_inputs equivalent, ivc_based_vpbs.rs:241)."""
     acc_init: tuple
     counter: int
     latest_acc: tuple
@@ -74,9 +76,11 @@ class StepLayout:
     acc_in: tuple
     bsk_hash_in: tuple
     lwe_hash_in: tuple
+    vk: tuple = (0, 0)
+    num_pis: int = 0
 
     @classmethod
-    def make(cls, params: VpbsParams) -> "StepLayout":
+    def make(cls, params: VpbsParams, vk_len: int = 0) -> "StepLayout":
         kn = params.K * params.N
         i = 0
 
@@ -94,8 +98,9 @@ class StepLayout:
         acc_in = take(kn)
         bsk_hash_in = take(4)
         lwe_hash_in = take(4)
+        vk = take(vk_len)
         return cls(acc_init, counter, latest_acc, bsk_hash_out, lwe_hash_out,
-                   acc_in, bsk_hash_in, lwe_hash_in)
+                   acc_in, bsk_hash_in, lwe_hash_in, vk, num_pis=i)
 
 
 @dataclass
@@ -113,19 +118,16 @@ class StepCircuit:
     t_lwe_hash_in: np.ndarray
 
 
-def build_step_circuit(b: CircuitBuilder, params: VpbsParams):
-    """The universal step circuit (ref: ivc_based_vpbs.rs:80-157)."""
-    p = params
-    acc_init = GlweCt.new_from_builder(b, p.N, p.K)
-    ggsw = GgswCt.new_from_builder(b, p.N, p.K, p.ELL)
-    acc_init.register(b)
-    current_acc_in = GlweCt.new_from_builder(b, p.N, p.K)
-    counter = b.add_virtual_public_input()
+def _build_step_core(b: CircuitBuilder, p: VpbsParams, acc_init, ggsw,
+                     current_acc_in, counter, mask_element, bsk_hash_in,
+                     lwe_hash_in):
+    """The shared step computation + PI registration tail (ref:
+    ivc_based_vpbs.rs:80-157). Caller must already have registered
+    acc_init and counter (PI-layout order)."""
     first_step = b.is_equal(counter, b.one())
     last_step = b.is_equal(counter, b.constant(p.n + 2))
 
     # first step: the mask element is actually the body, negate it
-    mask_element = b.add_virtual_target()
     neg_mask = b.neg(mask_element)
     first_negated_mask = b.select(first_step, neg_mask, mask_element)
 
@@ -141,21 +143,34 @@ def build_step_circuit(b: CircuitBuilder, params: VpbsParams):
     current_acc_out = glwe_select(b, first_step, shifted_glwe, cmux_or_exprod)
     current_acc_out.register(b)
 
-    bsk_hash_in = b.add_virtual_hash()
     bsk_hash_out = b.hash_n_to_hash_no_pad(
         np.concatenate([bsk_hash_in, ggsw.flatten()]))
-    lwe_hash_in = b.add_virtual_hash()
     lwe_hash_out = b.hash_n_to_hash_no_pad(
         np.concatenate([lwe_hash_in, [mask_element]]))
     b.register_public_inputs(bsk_hash_out)
     b.register_public_inputs(lwe_hash_out)
 
-    # chain-in fields exposed for out-of-circuit linkage (recursion-ready
-    # layout: these are what the in-circuit verifier will consume instead)
+    # chain-in fields exposed as PIs (the recursive verifier consumes the
+    # inner proof's *out* fields against these)
     b.register_public_inputs(current_acc_in.flatten())
     b.register_public_inputs(bsk_hash_in)
     b.register_public_inputs(lwe_hash_in)
 
+
+def build_step_circuit(b: CircuitBuilder, params: VpbsParams):
+    """The universal step circuit, explicit-chaining variant (ref:
+    ivc_based_vpbs.rs:80-157 without the recursion wiring)."""
+    p = params
+    acc_init = GlweCt.new_from_builder(b, p.N, p.K)
+    ggsw = GgswCt.new_from_builder(b, p.N, p.K, p.ELL)
+    acc_init.register(b)
+    current_acc_in = GlweCt.new_from_builder(b, p.N, p.K)
+    counter = b.add_virtual_public_input()
+    mask_element = b.add_virtual_target()
+    bsk_hash_in = b.add_virtual_hash()
+    lwe_hash_in = b.add_virtual_hash()
+    _build_step_core(b, p, acc_init, ggsw, current_acc_in, counter,
+                     mask_element, bsk_hash_in, lwe_hash_in)
     return (mask_element, acc_init, ggsw, current_acc_in, counter,
             bsk_hash_in, lwe_hash_in)
 
@@ -177,6 +192,169 @@ def get_step_circuit(params: VpbsParams,
 
 def _pis(proof, rng) -> np.ndarray:
     return proof.public_inputs[rng[0]:rng[1]]
+
+
+# ---------------------------------------------------------------------------
+# cyclic recursion: the IVC step circuit that verifies proofs of ITSELF
+# (ref: ivc_based_vpbs.rs:159-386, esp. the cyclic wiring at :209-273)
+# ---------------------------------------------------------------------------
+
+def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
+    """The recursive step circuit's gate set, known before building (the
+    cyclic fixpoint needs the selector count up front — the reference's
+    analogue is common_data_for_recursion's fixed gate list,
+    ivc_based_vpbs.rs:30-62). Row order in circuit/compile.py determines
+    selector indices: ARITH, SELECT, BASESUM (asc widths), POS_A/B/C,
+    CONST, PI."""
+    from ..circuit.builder import (ARITH, BASESUM, SELECT, POS_A, POS_B,
+                                   POS_C, CONST, PI, GateInstance)
+    # Discover the step circuit's BASESUM widths by dry-building it
+    # (cheap relative to a proof); union with the recursive verifier's
+    # own widths: 64-bit splits (PoW + query indices) and 32-bit le_sums
+    # (canonicity check halves).
+    probe = CircuitBuilder(config)
+    build_step_circuit(probe, params)
+    widths = sorted(set(probe._basesum.keys()) | {32, 64})
+    gates = []
+
+    def g(kind, param=0):
+        lanes = 1
+        if kind == BASESUM:
+            lanes = max(1, config.num_routed_wires // (param + 1))
+        gates.append(GateInstance(kind=kind, param=param,
+                                  selector=len(gates), lanes=lanes))
+
+    g(ARITH)
+    g(SELECT)
+    for w in widths:
+        g(BASESUM, w)
+    for k in (POS_A, POS_B, POS_C):
+        g(k)
+    g(CONST)
+    g(PI)
+    return gates
+
+
+@dataclass
+class RecStepCircuit:
+    data: object
+    layout: StepLayout
+    params: VpbsParams
+    shape: object
+    t_acc_init: object
+    t_ggsw: object
+    t_mask: int
+    t_condition: int
+    t_proof: object           # ProofTarget for the inner proof
+    t_vk_cap: np.ndarray
+    t_vk_digest: np.ndarray
+
+
+def build_recursive_step_circuit(b: CircuitBuilder, params: VpbsParams,
+                                 shape, gates, lay: StepLayout):
+    """Step circuit + in-circuit verification of the previous step's
+    proof (the verified_pbs circuit wiring, ivc_based_vpbs.rs:209-273).
+
+    Base-case handling: instead of plonky2's select-a-dummy-proof
+    (conditionally_verify_cyclic_proof_or_dummy), every verifier
+    assertion is gated on ``condition``; with condition=0 the prover
+    assigns an all-zero proof and the chain-in fields collapse to the
+    base values (counter=1, acc_in=acc_init, hash_ins=0)."""
+    from .proof_target import ProofTarget
+    from .verifier_circuit import verify_proof_circuit
+    p = params
+    kn = p.K * p.N
+
+    acc_init = GlweCt.new_from_builder(b, p.N, p.K)
+    ggsw = GgswCt.new_from_builder(b, p.N, p.K, p.ELL)
+    acc_init.register(b)
+    mask_element = b.add_virtual_target()
+    condition = b.add_virtual_bool_target_safe()
+    pt = ProofTarget.allocate(b, shape)
+
+    ipis = pt.public_inputs
+    i_acc_init = ipis[lay.acc_init[0]:lay.acc_init[1]]
+    i_counter = int(ipis[lay.counter])
+    i_latest = ipis[lay.latest_acc[0]:lay.latest_acc[1]]
+    i_bskh = ipis[lay.bsk_hash_out[0]:lay.bsk_hash_out[1]]
+    i_lweh = ipis[lay.lwe_hash_out[0]:lay.lwe_hash_out[1]]
+    i_vk = ipis[lay.vk[0]:lay.vk[1]]
+
+    # counter = condition ? inner_counter + 1 : 1   (ivc:245-252)
+    counter = b.select(condition, b.add(i_counter, b.one()), b.one())
+    b.register_public_input(counter)
+
+    # chain-in fields derived from the inner proof / base values (ivc:236-266)
+    cvec = np.full(kn, condition, dtype=np.int64)
+    acc_in_flat = b.select_vec(cvec, i_latest, acc_init.flatten())
+    current_acc_in = GlweCt.new_from_targets(acc_in_flat, p.N, p.K)
+    z4 = np.full(4, b.zero(), dtype=np.int64)
+    c4 = np.full(4, condition, dtype=np.int64)
+    bsk_hash_in = b.select_vec(c4, i_bskh, z4)
+    lwe_hash_in = b.select_vec(c4, i_lweh, z4)
+
+    _build_step_core(b, p, acc_init, ggsw, current_acc_in, counter,
+                     mask_element, bsk_hash_in, lwe_hash_in)
+
+    # verifier data as public inputs (add_verifier_data_public_inputs)
+    cap_size = shape.cap_size
+    vk_cap = b.add_virtual_targets(cap_size * 4).reshape(cap_size, 4)
+    vk_digest = b.add_virtual_targets(4)
+    b.register_public_inputs(vk_cap.ravel())
+    b.register_public_inputs(vk_digest)
+
+    # the inner proof must claim the same acc_init and the same verifier
+    # key (the chain propagates both unchanged)
+    b.cond_assert_eq_vec(condition, i_acc_init, acc_init.flatten())
+    b.cond_assert_eq_vec(
+        condition, i_vk,
+        np.concatenate([vk_cap.ravel(), np.asarray(vk_digest)]))
+
+    verify_proof_circuit(b, shape, gates, pt, vk_cap, vk_digest, condition)
+    return (acc_init, ggsw, mask_element, condition, pt, vk_cap, vk_digest)
+
+
+@functools.lru_cache(maxsize=2)
+def get_recursive_step_circuit(params: VpbsParams,
+                               config: CircuitConfig = STANDARD_CONFIG,
+                               min_degree_bits: int = 0) -> RecStepCircuit:
+    """Build the self-verifying step circuit, searching the row-count
+    fixpoint (the reference hand-tunes 2^12/2^15 NoopGate padding,
+    ivc_based_vpbs.rs:54-57; here the shape assumption is checked after
+    build and bumped until it holds)."""
+    from .proof_target import ProofShape
+    gates = predict_gates(params, config)
+    cap_size = 1 << config.cap_height
+    lay = StepLayout.make(params, vk_len=cap_size * 4 + 4)
+    k = max(min_degree_bits, 12)
+    for _attempt in range(6):
+        shape = ProofShape(config=config, h=1 << k, num_pis=lay.num_pis,
+                           num_selectors=len(gates))
+        b = CircuitBuilder(config)
+        (acc_init, ggsw, mask, condition, pt, vk_cap, vk_digest) = \
+            build_recursive_step_circuit(b, params, shape, gates, lay)
+        est = b.num_gates()
+        if est > (1 << k):
+            # won't fit — bump without paying a full compile
+            k = max(k + 1, (est - 1).bit_length())
+            log.info("fixpoint: %d rows > 2^%d, growing", est, k - 1)
+            continue
+        data = b.build(min_rows=1 << k, witness_host=True)
+        if data.h != 1 << k:
+            k = data.degree_bits
+            log.info("fixpoint: built h=2^%d, retrying", k)
+            continue
+        got = [(g.kind, g.param) for g in data.gates]
+        want = [(g.kind, g.param) for g in gates]
+        assert got == want, f"gate-set drift: {got} != {want}"
+        log.info("recursive step circuit: %d rows used, h=%d, %d targets",
+                 data.rows_used, data.h, data.num_targets)
+        return RecStepCircuit(
+            data=data, layout=lay, params=params, shape=shape,
+            t_acc_init=acc_init, t_ggsw=ggsw, t_mask=mask,
+            t_condition=condition, t_proof=pt, t_vk_cap=vk_cap,
+            t_vk_digest=vk_digest)
+    raise RuntimeError("recursion fixpoint did not converge")
 
 
 def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
@@ -275,6 +453,147 @@ def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
     out = np.asarray(_pis(prev, lay.latest_acc),
                      dtype=np.uint64).reshape(p.K, p.N)
     return jnp.asarray(out), proofs, sc
+
+
+def verified_pbs_recursive(ct, testv, bsk, ksk, params: VpbsParams,
+                           config: CircuitConfig = STANDARD_CONFIG,
+                           debug_glwe_key=None, debug_lwe_key=None,
+                           debug_ksk_key=None,
+                           checkpoint_dir: str | None = None,
+                           min_degree_bits: int = 0):
+    """Prove one PBS as a cyclic IVC chain: each step proof verifies the
+    previous one in-circuit, so ONE O(1) proof attests the whole
+    bootstrapping (ref: ivc_based_vpbs.rs:159-386).
+
+    Returns (out_ct, final_proof, rec_step_circuit)."""
+    import os
+    from ..prover.serialize import proof_to_bytes, proof_from_bytes
+    p = params
+    sc = get_recursive_step_circuit(p, config, min_degree_bits)
+    lay = sc.layout
+    vk = preprocess(sc.data)["vk"]
+    vk_pis = np.concatenate([np.asarray(vk.preproc_cap, np.uint64).ravel(),
+                             np.asarray(vk.circuit_digest, np.uint64)])
+    ct = np.asarray(ct, dtype=np.uint64)
+    acc_init_vals = np.concatenate(
+        [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
+    dummy = np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL))
+
+    testv_check = jnp.asarray(testv)
+    ct_switched = np.asarray(clwe.mod_switch_ct(jnp.asarray(ct), p.N))
+
+    prev = None
+    start_step = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        while start_step < p.num_steps:
+            path = os.path.join(checkpoint_dir, f"rstep_{start_step}.bin")
+            if not os.path.exists(path):
+                break
+            with open(path, "rb") as f:
+                prev = proof_from_bytes(f.read())
+            start_step += 1
+        if start_step:
+            log.info("resuming recursive chain at step %d", start_step)
+
+    for step in range(start_step, p.num_steps):
+        pw = PartialWitness()
+        sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
+        if step == 0:
+            ggsw_vals, mask_val = dummy, int(ct[p.n])
+        elif step <= p.n:
+            ggsw_vals, mask_val = np.asarray(bsk[step - 1]), int(ct[step - 1])
+        else:  # key switch
+            ggsw_vals, mask_val = np.asarray(ksk), 0
+        sc.t_ggsw.assign(pw, ggsw_vals)
+        pw.set_target(sc.t_mask, mask_val)
+        pw.set_bool_target(sc.t_condition, step > 0)
+        if step == 0:
+            sc.t_proof.assign_dummy(pw)
+        else:
+            sc.t_proof.assign(pw, prev)
+        pw.set_target_arr(sc.t_vk_cap, vk.preproc_cap)
+        pw.set_target_arr(sc.t_vk_digest, vk.circuit_digest)
+
+        tt = TimingTree(f"prove step {step}")
+        proof = prove(sc.data, pw, timing=tt)
+        tt.done()
+        prev = proof
+        if checkpoint_dir:
+            path = os.path.join(checkpoint_dir, f"rstep_{step}.bin")
+            with open(path + ".tmp", "wb") as f:
+                f.write(proof_to_bytes(proof))
+            os.replace(path + ".tmp", path)
+
+        if debug_glwe_key is not None:
+            if step == 0:
+                testv_check = cpoly.left_shift(testv_check,
+                                               int(ct_switched[p.n]))
+            elif step <= p.n:
+                sk = int(np.asarray(debug_lwe_key)[step - 1])
+                testv_check = cpoly.right_shift(
+                    testv_check, int(ct_switched[step - 1]) * sk)
+            acc = jnp.asarray(np.asarray(_pis(prev, lay.latest_acc),
+                                         dtype=np.uint64).reshape(p.K, p.N))
+            key = debug_ksk_key if step == p.n + 1 else debug_glwe_key
+            log.info("step %d avg error: %.3e  max error: %.3e", step,
+                     cglwe.get_avg_error(acc, key, testv_check),
+                     cglwe.get_max_error(acc, key, testv_check))
+
+    out = np.asarray(_pis(prev, lay.latest_acc),
+                     dtype=np.uint64).reshape(p.K, p.N)
+    return jnp.asarray(out), prev, sc
+
+
+def verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, proof,
+                         sc: RecStepCircuit) -> None:
+    """Verify ONE recursive PBS proof — the reference's verifier shape
+    (ivc_based_vpbs.rs:388-489): one proof verification, the cyclic
+    verifier-data check, and the two native hash-chain recomputations."""
+    p = sc.params
+    lay = sc.layout
+    ct = np.asarray(ct, dtype=np.uint64)
+    vk = preprocess(sc.data)["vk"]
+
+    tt = TimingTree("verify")
+    # claimed test vector: zero mask + testv coefficients (ivc:421-431)
+    claimed_testv = _pis(proof, lay.acc_init)
+    assert (claimed_testv[:p.N * (p.K - 1)] == 0).all()
+    assert (claimed_testv[p.N * (p.K - 1):] ==
+            np.asarray(testv, dtype=np.uint64)).all()
+    # counter == n + 2 (ivc:433-436)
+    assert int(proof.public_inputs[lay.counter]) == p.num_steps, \
+        "wrong number of steps"
+    # claimed output (ivc:438-440)
+    assert (np.asarray(out_ct, dtype=np.uint64).reshape(-1) ==
+            _pis(proof, lay.latest_acc)).all()
+
+    with tt.scope("verifying proof"):                      # ivc:442-447
+        verify(vk, proof)
+    with tt.scope("verifying verifier data"):              # ivc:448-452
+        vk_pis = np.concatenate(
+            [np.asarray(vk.preproc_cap, np.uint64).ravel(),
+             np.asarray(vk.circuit_digest, np.uint64)])
+        assert (_pis(proof, lay.vk) == vk_pis).all(), \
+            "cyclic verifier data mismatch"
+
+    # hash chains bind the bsk / ksk and the LWE ciphertext (ivc:459-481)
+    bsk_data = [np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL)).reshape(-1)]
+    lwe_data = [[int(ct[p.n])]]
+    for i in range(p.n):
+        bsk_data.append(np.asarray(bsk[i]).reshape(-1))
+        lwe_data.append([int(ct[i])])
+    bsk_data.append(np.asarray(ksk).reshape(-1))
+    lwe_data.append([0])
+    assert verify_hash_output(bsk_data, _pis(proof, lay.bsk_hash_out)), \
+        "bsk hash chain mismatch"
+    with tt.scope("verifying lwe hash chain"):
+        assert verify_hash_output(lwe_data, _pis(proof, lay.lwe_hash_out)), \
+            "lwe hash chain mismatch"
+    tt.done()
+    log.info("number of steps: %d", p.num_steps)
+    log.info("proof size: %d bytes (O(1) — one proof for the whole PBS)",
+             proof.num_bytes())
 
 
 def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
