@@ -1,11 +1,20 @@
-"""Benchmark: Goldilocks negacyclic NTT throughput on the current device.
+"""Benchmark: hot-kernel throughput on the current device.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the driver contract):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference repo publishes no numbers (BASELINE.md), so vs_baseline is
-reported as 1.0; butterflies/s/chip is the north-star kernel metric from
-BASELINE.json. Extra context goes to stderr.
+The headline metric is Goldilocks negacyclic NTT butterflies/s/chip
+(BASELINE.json north-star kernel). The reference repo publishes no
+numbers (BASELINE.md), so vs_baseline is 1.0.
+
+Extra machine-readable metrics go to stderr as JSON lines prefixed
+"extra: " — Poseidon permutations/s, the serially-DEPENDENT NTT chain
+rate (what a single sequential caller sees), and a measured
+speed-of-light proxy (standalone u64 mulmod rate; one butterfly is one
+twiddle mulmod + add/sub, so the mulmod rate bounds butterflies/s).
+Round-1's 2x bench/prose discrepancy (VERDICT.md "benchmark
+bookkeeping") came from measuring ONLY the dependent chain; both are
+now reported, throughput is the headline.
 """
 
 import json
@@ -15,37 +24,78 @@ import time
 import numpy as np
 
 
+def _time(fn, iters):
+    fn().block_until_ready()          # compile + warmup
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    out.block_until_ready()
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
     from vfhe_tpu.field import goldilocks as gl   # enables x64
     from vfhe_tpu.ntt import ntt_forward
+    from vfhe_tpu.hashing import poseidon as HP
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    def extra(metric, value, unit):
+        print("extra: " + json.dumps(
+            {"metric": metric, "value": value, "unit": unit}),
+            file=sys.stderr)
+
     n = 1024
     batch = 1024
+    iters = 50
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, gl.P, (batch, n), dtype=np.uint64))
+    logn = n.bit_length() - 1
+    bflies = batch * (n // 2) * logn * iters
 
-    # compile + warmup
-    ntt_forward(x).block_until_ready()
+    # throughput: independent dispatches (the batched-prover regime)
+    dt = _time(lambda: ntt_forward(x), iters)
+    rate = bflies / dt
+    print(f"NTT N={n} batch={batch}: independent {dt/iters*1e6:.0f} us/call"
+          f" -> {rate:.3e} butterflies/s", file=sys.stderr)
 
-    iters = 20
+    # latency: serially dependent chain (single sequential caller)
+    y = ntt_forward(x)
+    y.block_until_ready()
     t0 = time.perf_counter()
-    y = x
     for _ in range(iters):
         y = ntt_forward(y)
     y.block_until_ready()
-    dt = time.perf_counter() - t0
+    dt_dep = time.perf_counter() - t0
+    extra(f"ntt_dependent_chain_butterflies_per_s_N{n}", bflies / dt_dep,
+          "butterflies/s/chip")
 
-    logn = n.bit_length() - 1
-    butterflies = batch * (n // 2) * logn * iters
-    rate = butterflies / dt
-    print(f"N={n} batch={batch} iters={iters}: {dt*1e3:.1f} ms total, "
-          f"{dt/iters*1e6:.0f} us/batch, {rate:.3e} butterflies/s",
-          file=sys.stderr)
+    # Poseidon permutations/s (bounds Merkle commit + witness sponges)
+    pbatch = 1 << 15
+    st = jnp.asarray(rng.integers(0, gl.P, (pbatch, 12), dtype=np.uint64))
+    perm = jax.jit(HP.permute)
+    dtp = _time(lambda: perm(st), iters)
+    extra("poseidon_permutations_per_s", pbatch * iters / dtp,
+          "permutations/s/chip")
+
+    # roofline context: a standalone u64 mulmod at this footprint is
+    # HBM-BANDWIDTH-bound (24 B moved per mulmod), so a fused multi-stage
+    # kernel like the NTT can exceed its element rate; the meaningful
+    # speed-of-light for both is effective HBM bytes/s vs the chip's
+    # peak. Report both the mulmod rate and each kernel's effective
+    # bandwidth (16 B/element/pass for the in-place NTT).
+    a = jnp.asarray(rng.integers(0, gl.P, (batch, n), dtype=np.uint64))
+    mul = jax.jit(gl.mul)
+    dtm = _time(lambda: mul(a, x), iters)
+    extra("u64_mulmod_per_s_hbm_bound_reference",
+          a.size * iters / dtm, "mulmods/s/chip")
+    extra("ntt_effective_hbm_bandwidth", 16 * x.size * iters / dt, "B/s")
+    extra("mulmod_effective_hbm_bandwidth", 24 * a.size * iters / dtm,
+          "B/s")
 
     print(json.dumps({
         "metric": f"goldilocks_negacyclic_ntt_butterflies_per_s_N{n}",

@@ -132,3 +132,52 @@ def test_second_proof_different_witness(mini):
     verify(vk, proof)
     assert int(proof.public_inputs[2]) == 30
     assert int(proof.public_inputs[3]) == 1  # 5 == 5
+
+
+def test_precomputed_sponge_witness_bit_identical():
+    """PartialWitness.precompute_sponges + witness_fn_pre must produce the
+    SAME witness (and thus the same proof transcript) as the sequential
+    sponge scan — the host-precompute fast path for the long absorbs of
+    ivc_based_vpbs.rs:127-146."""
+    from vfhe_tpu.prover.serialize import proof_to_bytes
+    b = CircuitBuilder(TEST_CONFIG)
+    xs = b.add_virtual_targets(30)        # 3 full chunks + rem
+    b.register_public_inputs(xs)
+    hh = b.hash_n_to_hash_no_pad(xs)
+    b.register_public_inputs(hh)
+    data = b.build()
+    assert len(data.sponges) >= 1
+
+    vals = np.arange(1, 31, dtype=np.uint64)
+    pw1 = PartialWitness()
+    pw1.set_target_arr(xs, vals)
+    w_seq = np.asarray(data.witness_fn(jnp.asarray(pw1.initial_vector(data))))
+    proof_seq = prove(data, pw1)
+
+    pw2 = PartialWitness()
+    pw2.set_target_arr(xs, vals)
+    # the PI-hash sponge absorbs hh too; resolve it natively first
+    from vfhe_tpu.hashing import poseidon as HP
+    digest = HP.hash_no_pad_host([int(v) for v in vals])
+    pw2.set_target_arr(hh, np.array(digest, np.uint64))
+    pw2.precompute_sponges(data)
+    assert pw2.sponges_precomputed
+    w_pre = np.asarray(
+        data.witness_fn_pre(jnp.asarray(pw2.initial_vector(data))))
+    assert (w_seq == w_pre).all()
+
+    proof_pre = prove(data, pw2)
+    assert proof_to_bytes(proof_pre) == proof_to_bytes(proof_seq)
+    verify(preprocess(data)["vk"], proof_pre)
+
+
+def test_precompute_sponges_unresolved_inputs_rejected():
+    b = CircuitBuilder(TEST_CONFIG)
+    xs = b.add_virtual_targets(16)
+    hh = b.hash_n_to_hash_no_pad(xs)
+    b.register_public_inputs(hh)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target_arr(xs[:8], np.arange(8, dtype=np.uint64))  # half missing
+    with pytest.raises(AssertionError):
+        pw.precompute_sponges(data)

@@ -85,6 +85,7 @@ class CircuitBuilder:
         self._arith_groups: dict[tuple[int, int], list] = {}
         self._basesum: dict[int, list] = {}   # nbits -> [(sum(L,), bits(L,b))]
         self._poseidon: list = []             # (in(L,12), states(L,30,12))
+        self._sponges: list = []              # carry-precompute descriptors
         self._select: list = []               # (b, x, y, out) flat lanes
         self._built = False
 
@@ -284,6 +285,12 @@ class CircuitBuilder:
                 in_mat[:, 1:, 8:] = states[:, :-1, 29, 8:12]
             self._ops.append(_WitnessOp("sponge_b", dict(
                 chunks=chunks, init=state, states=states)))
+            # descriptor for host-side carry precompute (see
+            # PartialWitness.precompute_sponges): the sequential
+            # dependency chain of this absorb is states[:, :, 29, 8:12]
+            self._sponges.append(dict(
+                chunks=chunks, init=state,
+                carries=states[:, :, 29, 8:12]))
             self._poseidon.append((in_mat.reshape(L * full, 12),
                                    states.reshape(L * full, 30, 12)))
             state = states[:, -1, 29, :].copy()

@@ -41,6 +41,10 @@ class CircuitData:
     k_cosets: np.ndarray         # (num_routed,) coset shifts k_c
     pi_targets: np.ndarray       # (num_pis,) int64
     witness_fn: object           # jit: (num_targets+1,) -> (num_targets+1,)
+    witness_fn_pre: object = None  # variant w/ precomputed sponge carries
+    sponges: list = dfield(default_factory=list)   # carry descriptors
+    const_idx: np.ndarray = None   # constant-target indices
+    const_vals: np.ndarray = None  # constant-target values
     copies: list = dfield(default_factory=list)  # copy-constraint pairs
     num_inputs_hint: int = 0
     # prover-side caches (filled lazily by the prover)
@@ -256,12 +260,19 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
     # ---- witness function ----------------------------------------------
     witness_fn = _compile_witness(b, num_targets, zero_slot,
                                   host=witness_host)
+    witness_fn_pre = _compile_witness(b, num_targets, zero_slot,
+                                      host=witness_host, pre=True)
+    const_items = sorted(b._const_map.items(), key=lambda kv: kv[1])
+    const_idx = np.array([t for _, t in const_items], dtype=np.int64)
+    const_vals = np.array([v for v, _ in const_items], dtype=np.uint64)
 
     return CircuitData(
         config=cfg, h=h, rows_used=rows_used, num_targets=num_targets,
         zero_slot=zero_slot, wire_index=wire_index, row_consts=row_consts,
         selectors=selectors, gates=gates, sigma_vals=sigma_vals,
         k_cosets=k_cosets, pi_targets=pi_targets, witness_fn=witness_fn,
+        witness_fn_pre=witness_fn_pre, sponges=list(b._sponges),
+        const_idx=const_idx, const_vals=const_vals,
         copies=list(b._copies))
 
 
@@ -275,7 +286,17 @@ def _poseidon_all_states(state: jnp.ndarray) -> jnp.ndarray:
 
 
 def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
-                     host: bool = False):
+                     host: bool = False, pre: bool = False):
+    """Compile the witness-generation jit. ``pre=True`` compiles the
+    PRECOMPUTED-SPONGE variant: every ``sponge_b`` op expects its carry
+    chain (the capacity lanes after each full-chunk permutation,
+    ``states[:, :, 29, 8:12]``) already present in the witness vector
+    (PartialWitness.precompute_sponges), so all permutations of a long
+    absorb run in ONE batched call instead of a sequential lax.scan —
+    the bsk-hash witness chain (~2k permutations at paper params,
+    ivc_based_vpbs.rs:127-146) stops being the latency floor. Soundness
+    is untouched: every Poseidon round is still constrained; wrong
+    carries simply produce an unsatisfiable witness."""
     const_idx = np.array([t for v, t in sorted(b._const_map.items(),
                                                key=lambda kv: kv[1])],
                          dtype=np.int64)
@@ -319,17 +340,30 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
             elif op.kind == "sponge_b":
                 chunks_v = w[d["chunks"]]          # (L, C, 8)
                 init_v = w[d["init"]]              # (L, 12)
+                if pre:
+                    # carry chain precomputed on the host: batch ALL
+                    # permutations of the absorb in one call
+                    L, Cn = d["chunks"].shape[:2]
+                    prev_carry = jnp.concatenate(
+                        [init_v[:, None, 8:12],
+                         w[d["states"][:, :-1, 29, 8:12]]], axis=1)
+                    s_in = jnp.concatenate([chunks_v, prev_carry], axis=-1)
+                    all30 = HP.permute_all_states(
+                        s_in.reshape(L * Cn, 12))  # (30, L*C, 12)
+                    states = jnp.moveaxis(all30, 0, 1) \
+                        .reshape(L, Cn, 30, 12)
+                    w = w.at[d["states"]].set(states)
+                else:
+                    def sponge_body(carry_tail, chunk):
+                        s_in = jnp.concatenate([chunk, carry_tail], axis=-1)
+                        all30 = HP.permute_all_states(s_in)   # (30, L, 12)
+                        return all30[-1, :, 8:12], all30
 
-                def sponge_body(carry_tail, chunk):
-                    s_in = jnp.concatenate([chunk, carry_tail], axis=-1)
-                    all30 = HP.permute_all_states(s_in)   # (30, L, 12)
-                    return all30[-1, :, 8:12], all30
-
-                _, states = jax.lax.scan(
-                    sponge_body, init_v[:, 8:12],
-                    jnp.moveaxis(chunks_v, 1, 0))
-                # states: (C, 30, L, 12) -> (L, C, 30, 12)
-                w = w.at[d["states"]].set(jnp.moveaxis(states, 2, 0))
+                    _, states = jax.lax.scan(
+                        sponge_body, init_v[:, 8:12],
+                        jnp.moveaxis(chunks_v, 1, 0))
+                    # states: (C, 30, L, 12) -> (L, C, 30, 12)
+                    w = w.at[d["states"]].set(jnp.moveaxis(states, 2, 0))
             elif op.kind == "mwalk":
                 dig_v = w[d["dig0"]]               # (L, 4)
                 bits_v = w[d["bits"]]              # (levels, L)
@@ -438,6 +472,7 @@ class PartialWitness:
     def __init__(self):
         self._idx: list = []
         self._val: list = []
+        self.sponges_precomputed = False
 
     def set_target(self, t: int, value: int) -> None:
         self._idx.append(int(t))
@@ -459,3 +494,35 @@ class PartialWitness:
             w[np.array(self._idx, dtype=np.int64)] = np.array(
                 self._val, dtype=np.uint64)
         return w
+
+    def precompute_sponges(self, data: CircuitData) -> None:
+        """Resolve every sponge's sequential carry chain natively (C++
+        host runtime) and assign it, so the prover can use the batched
+        witness variant (``witness_fn_pre``).
+
+        Requires every sponge input target (chunks + init) to be already
+        assigned here or a circuit constant — for the step circuit that
+        means the caller assigns the full public-input vector (the chain
+        values are natively computable, ivc/fastpath.compute_chain)."""
+        from .. import runtime
+        w = self.initial_vector(data)
+        known = np.zeros(data.num_targets + 1, dtype=bool)
+        if self._idx:
+            known[np.array(self._idx, dtype=np.int64)] = True
+        if data.const_idx is not None and data.const_idx.size:
+            w[data.const_idx] = data.const_vals
+            known[data.const_idx] = True
+        known[data.zero_slot] = True
+        for sp in data.sponges:
+            chunks_t = sp["chunks"]            # (L, C, 8) targets
+            init_t = sp["init"]                # (L, 12) targets
+            carr_t = sp["carries"]             # (L, C, 4) targets
+            assert known[chunks_t].all() and known[init_t].all(), \
+                "sponge inputs not assigned; cannot precompute carries"
+            for l in range(chunks_t.shape[0]):
+                carries = runtime.sponge_carries(w[chunks_t[l]],
+                                                 w[init_t[l]])
+                w[carr_t[l]] = carries
+                known[carr_t[l]] = True
+                self.set_target_arr(carr_t[l], carries)
+        self.sponges_precomputed = True

@@ -54,22 +54,41 @@ def native_step(acc_in: jnp.ndarray, ggsw_hat: jnp.ndarray, mask: int,
     return xout if last else gl.add(xout, acc_in)
 
 
-def compute_chain(ct, testv, bsk, ksk, params: VpbsParams):
+def compute_bsk_digests(bsk, ksk, params: VpbsParams) -> list:
+    """The per-step bsk hash-chain digests — a pure function of the KEY
+    MATERIAL (same for every ciphertext proved under it), so callers
+    compute it once and share it across chains
+    (ref: ivc_based_vpbs.rs:64-78)."""
+    p = params
+    dummy = cggsw.dummy_ct(p.N, p.K, p.ELL)
+    digs = []
+    h = [0, 0, 0, 0]
+    for step in range(p.num_steps):
+        g = dummy if step == 0 else (bsk[step - 1] if step <= p.n else ksk)
+        h = HP.hash_no_pad_host(
+            h + [int(x) for x in np.asarray(g).reshape(-1)])
+        digs.append(list(h))
+    return digs
+
+
+def compute_chain(ct, testv, bsk, ksk, params: VpbsParams, bsk_digs=None):
     """All per-step inputs for a PBS chain, natively.
 
     Returns (accs: list of n+3 accumulator states (K, N) — index t is the
     input of step t; bsk_digests, lwe_digests: per-step hash-chain
-    outputs)."""
+    outputs). ``bsk_digs``: reuse a compute_bsk_digests result (the bsk
+    chain is ciphertext-independent)."""
     p = params
     ct = np.asarray(ct, dtype=np.uint64)
     acc = jnp.asarray(np.concatenate(
         [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
         .reshape(p.K, p.N))
     dummy = cggsw.dummy_ct(p.N, p.K, p.ELL)
+    if bsk_digs is None:
+        bsk_digs = compute_bsk_digests(bsk, ksk, p)
 
     accs = [acc]
-    bsk_digs, lwe_digs = [], []
-    bsk_h = [0, 0, 0, 0]
+    lwe_digs = []
     lwe_h = [0, 0, 0, 0]
     for step in range(p.num_steps):
         if step == 0:
@@ -80,12 +99,31 @@ def compute_chain(ct, testv, bsk, ksk, params: VpbsParams):
             g, mask = ksk, 0
         acc = native_step(acc, g, mask, step + 1, p)
         accs.append(acc)
-        bsk_h = HP.hash_no_pad_host(
-            bsk_h + [int(x) for x in np.asarray(g).reshape(-1)])
         lwe_h = HP.hash_no_pad_host(lwe_h + [mask])
-        bsk_digs.append(list(bsk_h))
         lwe_digs.append(list(lwe_h))
     return accs, bsk_digs, lwe_digs
+
+
+def step_pi_values(step: int, p: VpbsParams, lay, acc_init_vals,
+                   accs, bsk_digs, lwe_digs) -> np.ndarray:
+    """The step proof's full public-input vector from the native chain
+    values — lets PartialWitness.precompute_sponges resolve the PI-hash
+    sponge (the PI layout mirrors ivc_based_vpbs.rs:196-207)."""
+    pis = np.zeros(lay.num_pis, np.uint64)
+
+    def put(rng, vals):
+        pis[rng[0]:rng[1]] = np.asarray(vals, dtype=np.uint64).reshape(-1)
+
+    put(lay.acc_init, acc_init_vals)
+    pis[lay.counter] = step + 1
+    put(lay.latest_acc, np.asarray(accs[step + 1]))
+    put(lay.bsk_hash_out, bsk_digs[step])
+    put(lay.lwe_hash_out, lwe_digs[step])
+    put(lay.acc_in, np.asarray(accs[step]))
+    if step > 0:
+        put(lay.bsk_hash_in, bsk_digs[step - 1])
+        put(lay.lwe_hash_in, lwe_digs[step - 1])
+    return pis
 
 
 def verified_pbs_fast(ct, testv, bsk, ksk, params: VpbsParams,
@@ -126,6 +164,11 @@ def verified_pbs_fast(ct, testv, bsk, ksk, params: VpbsParams,
         sc.t_acc_in.assign(pw, np.asarray(accs[step]))
         pw.set_target_arr(sc.t_bsk_hash_in, np.array(hin[0], np.uint64))
         pw.set_target_arr(sc.t_lwe_hash_in, np.array(hin[1], np.uint64))
+        # native PI values -> all sponge carry chains precomputed on the
+        # host, so witness gen runs the batched (non-sequential) variant
+        pw.set_target_arr(sc.data.pi_targets, step_pi_values(
+            step, p, sc.layout, acc_init_vals, accs, bsk_digs, lwe_digs))
+        pw.precompute_sponges(sc.data)
         return pw
 
     proofs = [None] * p.num_steps

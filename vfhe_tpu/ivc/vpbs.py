@@ -382,6 +382,12 @@ def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
     testv_check = jnp.asarray(testv)
     ct_switched = np.asarray(clwe.mod_switch_ct(jnp.asarray(ct), p.N))
 
+    # native chain values: resolve every witness sponge's carry chain on
+    # the host up front (the bsk/PI absorbs are the latency floor
+    # otherwise — CLAUDE.md "witness-phase sync")
+    from .fastpath import compute_chain, step_pi_values
+    accs, bsk_digs, lwe_digs = compute_chain(ct, testv, bsk, ksk, p)
+
     proofs = []
     prev = None
     start_step = 0
@@ -422,6 +428,9 @@ def verified_pbs(ct, testv, bsk, ksk, params: VpbsParams,
                                           dtype=np.uint64).reshape(p.K, p.N))
         pw.set_target_arr(sc.t_bsk_hash_in, hash_ins[0])
         pw.set_target_arr(sc.t_lwe_hash_in, hash_ins[1])
+        pw.set_target_arr(sc.data.pi_targets, step_pi_values(
+            step, p, lay, acc_init_vals, accs, bsk_digs, lwe_digs))
+        pw.precompute_sponges(sc.data)
 
         tt = TimingTree(f"prove step {step}")
         proof = prove(sc.data, pw, timing=tt)
@@ -619,6 +628,11 @@ def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
     bsk_np = np.asarray(bsk)
     ksk_np = np.asarray(ksk)
 
+    from .fastpath import compute_chain, compute_bsk_digests, step_pi_values
+    bsk_digs_shared = compute_bsk_digests(bsk, ksk, p)
+    natives = [compute_chain(cts[bi], testv, bsk, ksk, p,
+                             bsk_digs=bsk_digs_shared) for bi in range(B)]
+
     chains = [[] for _ in range(B)]
     prev = [None] * B
     for step in range(p.num_steps):
@@ -648,6 +662,10 @@ def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
                 acc_in_vals, dtype=np.uint64).reshape(p.K, p.N))
             pw.set_target_arr(sc.t_bsk_hash_in, hash_ins[0])
             pw.set_target_arr(sc.t_lwe_hash_in, hash_ins[1])
+            n_accs, n_bskd, n_lwed = natives[bi]
+            pw.set_target_arr(sc.data.pi_targets, step_pi_values(
+                step, p, lay, acc_init_vals, n_accs, n_bskd, n_lwed))
+            pw.precompute_sponges(sc.data)
             pws.append(pw)
 
         tt = TimingTree(f"prove step {step} (batch {B})")

@@ -101,6 +101,7 @@ def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
     cache = _batched_fns(id(data))
     if "witness" not in cache:
         cache["witness"] = jax.jit(jax.vmap(data.witness_fn))
+        cache["witness_pre"] = jax.jit(jax.vmap(data.witness_fn_pre))
         cache["perm"] = jax.jit(jax.vmap(
             pre["perm_fn"], in_axes=(0, 0, 0, None)))
         cache["quotient"] = jax.jit(jax.vmap(
@@ -111,7 +112,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
 
     with tt.scope("witness"):
         w0 = jnp.asarray(np.stack([pw.initial_vector(data) for pw in pws]))
-        w = cache["witness"](w0)
+        all_pre = all(pw.sponges_precomputed for pw in pws)
+        w = cache["witness_pre" if all_pre else "witness"](w0)
         trace = w[:, jnp.asarray(data.wire_index)]       # (B, h, W)
         pis = np.asarray(w[:, jnp.asarray(data.pi_targets)]) \
             if len(data.pi_targets) else np.zeros((B, 0), np.uint64)

@@ -416,7 +416,9 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
     vk = pre["vk"]
 
     with tt.scope("witness"):
-        w = data.witness_fn(jnp.asarray(pw.initial_vector(data)))
+        wfn = data.witness_fn_pre if pw.sponges_precomputed \
+            else data.witness_fn
+        w = wfn(jnp.asarray(pw.initial_vector(data)))
         trace = w[jnp.asarray(data.wire_index)]          # (h, W)
         pis = np.asarray(w[jnp.asarray(data.pi_targets)]) \
             if len(data.pi_targets) else np.zeros(0, np.uint64)

@@ -51,6 +51,7 @@ def _load():
     L.poseidon_permute.argtypes = [u64p]
     L.hash_no_pad.argtypes = [u64p, ctypes.c_uint64, u64p]
     L.hash_chain.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64, u64p]
+    L.sponge_carries.argtypes = [u64p, ctypes.c_uint64, u64p, u64p]
     L.two_to_one.argtypes = [u64p, u64p, u64p]
     L.merkle_path_digest.argtypes = [u64p, ctypes.c_uint64, u64p,
                                      ctypes.c_uint64, ctypes.c_uint64, u64p]
@@ -91,6 +92,29 @@ def merkle_path_digest(leaf, siblings, index: int) -> np.ndarray:
     lib.merkle_path_digest(_ptr(leaf), len(leaf), _ptr(sibs), sibs.shape[0],
                            index, _ptr(out))
     return out
+
+
+def sponge_carries(chunks: np.ndarray, init_state=None) -> np.ndarray:
+    """Absorb (C, 8) full chunks overwrite-mode from ``init_state`` (12,),
+    returning the (C, 4) capacity lanes after each permutation — the
+    sequential dependency chain of a long sponge, precomputed natively so
+    the jitted witness generator can batch the permutations (python
+    fallback via hashing.poseidon.permute_host)."""
+    chunks = np.ascontiguousarray(chunks, dtype=np.uint64).reshape(-1, 8)
+    C = chunks.shape[0]
+    state = np.zeros(12, dtype=np.uint64) if init_state is None else \
+        np.ascontiguousarray(init_state, dtype=np.uint64).copy()
+    carries = np.zeros((C, 4), dtype=np.uint64)
+    if lib is not None:
+        lib.sponge_carries(_ptr(chunks), C, _ptr(state), _ptr(carries))
+        return carries
+    from ..hashing import poseidon as HP
+    s = [int(x) for x in state]
+    for c in range(C):
+        s[:8] = [int(x) for x in chunks[c]]
+        s = HP.permute_host(s)
+        carries[c] = s[8:12]
+    return carries
 
 
 def permute(state) -> np.ndarray:

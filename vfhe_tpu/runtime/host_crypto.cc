@@ -120,6 +120,22 @@ extern "C" void hash_chain(const u64* blocks, u64 n_blocks, u64 block_len,
   delete[] heap;
 }
 
+// Sponge absorption of n_chunks FULL rate-8 chunks from an arbitrary
+// 12-wide state, recording the 4 capacity lanes (state[8..12]) after each
+// permutation. Used by the prover to PRECOMPUTE the sequential sponge
+// dependency chain once on the host, so the in-jit witness generation can
+// evaluate all permutations of a long absorb (bsk hash / PI hash,
+// ivc_based_vpbs.rs:64-78, 127-146) in one batched call instead of a
+// sequential scan.
+extern "C" void sponge_carries(const u64* chunks, u64 n_chunks,
+                               u64* state12, u64* carries) {
+  for (u64 c = 0; c < n_chunks; c++) {
+    std::memcpy(state12, chunks + 8 * c, 8 * sizeof(u64));
+    poseidon_permute(state12);
+    std::memcpy(carries + 4 * c, state12 + 8, 4 * sizeof(u64));
+  }
+}
+
 // two-to-one compression for Merkle paths.
 extern "C" void two_to_one(const u64* l, const u64* r, u64* out4) {
   u64 state[WIDTH] = {0};
