@@ -204,6 +204,54 @@ def test_blind_rotation_step_gadget():
     assert (m_out == want).all()
 
 
+def test_key_switch_decrypt_asserted():
+    """Behavioral LevCt key switch: a message encrypted under a source
+    LWE key is switched to the target key in-circuit and decrypts back
+    exactly (sigma=0, full-limb decomposition).
+
+    The reference's own test_key_switch (vtfhe/mod.rs:407-441) only
+    proves over random data; this pins the gadget's contract
+    z = (0,..,0, body_0) + sum_i body_i * LevMul(ksk_i)
+    (vtfhe/mod.rs:31-54) with real key material. Packing convention per
+    the mod.rs:29-30 comment ("ksk set up nicely ... literally reading
+    off the coefficients"): the input LWE ct (a_1..a_{N-1}, b) is laid
+    into the body poly as [b, a_1, .., a_{N-1}]; ksk[i] (i>=1) is a Lev
+    encryption of -s_in_{i-1} * B^j (BOTTOM-limb convention,
+    lev_ct.rs:63-76) under the target key, and ksk[0] encrypts 0 since
+    coeff 0 doubles as the carried-over body."""
+    logb, ell = 16, 4            # ell * logb = 64: truncation-free
+    n_lwe = 3
+    k = 2
+    B = 1 << logb
+    sub = keys(4 + N * ell)
+    s_to = clwe.key_gen(sub[0], n_lwe)
+    s_in = clwe.key_gen(sub[1], N - 1)
+    m = 1234567890123456789 % gl.P
+    in_ct = np.asarray(clwe.encrypt(sub[2], s_in, m, 0.0))  # [a_1..a_7, b]
+
+    ksk_native = np.zeros((N, ell, n_lwe + 1), np.uint64)
+    for i in range(N):
+        v = 0 if i == 0 else (gl.P - int(s_in[i - 1])) % gl.P
+        for j in range(ell):
+            mj = (v * pow(B, j, gl.P)) % gl.P
+            ksk_native[i, j] = np.asarray(
+                clwe.encrypt(sub[3 + i * ell + j], s_to, mj, 0.0))
+
+    b = CircuitBuilder(TEST_CONFIG)
+    g = GlweCt.new_from_builder(b, N, k)
+    ksk = [LevCt.new_from_builder(b, n_lwe + 1, ell) for _ in range(N)]
+    z = key_switch(b, g, ksk, logb)
+    data = b.build()
+    pw = PartialWitness()
+    body = np.concatenate([in_ct[-1:], in_ct[:-1]])
+    g.assign(pw, np.stack([np.zeros(N, np.uint64), body]))
+    for i, lev in enumerate(ksk):
+        lev.assign(pw, ksk_native[i])
+    w = data.eval_witness(pw)
+    out_ct = jnp.asarray(w[z].astype(np.uint64))
+    assert int(clwe.decrypt(s_to, out_ct)) == m
+
+
 def test_key_switch_gadget_builds():
     # ref: test_key_switch (vtfhe/mod.rs:407-441) — structural test: the
     # LevCt route builds and evaluates (the IVC path uses the GGSW route)

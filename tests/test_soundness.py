@@ -1,0 +1,240 @@
+"""Malicious-witness soundness tests.
+
+The round-1 suite proved tampered PROOFS are rejected; these tests forge
+the WITNESS instead: run honest witness generation, overwrite selected
+targets with adversarial values (keeping every other constraint
+satisfiable where the attack calls for it), produce a real proof from
+the forged witness, and require verification to fail.
+
+Covers the constraint-set edges the reference inherits from plonky2
+gates and VERDICT round 1 flagged as unreviewed:
+  * BaseSum booleanness + recombination (plonky2 BaseSumGate<2>,
+    as relied on by glwe_poly.rs:28-50),
+  * the 64-bit split canonicity hole (x vs x+p alias encodings) now
+    closed by CircuitBuilder.split_le_vec's canonicity constraint,
+  * select-control booleanness,
+  * is_equal's inverse-witness constraints,
+  * Poseidon round constraints (forged sponge intermediate states and
+    forged precomputed sponge carries),
+  * copy (permutation-argument) constraints,
+  * arithmetic-gate outputs.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vfhe_tpu.field import goldilocks as gl
+from vfhe_tpu.circuit import CircuitBuilder, PartialWitness, TEST_CONFIG
+from vfhe_tpu.prover import prove, preprocess, verify, VerificationError
+
+
+def _forge_and_expect_reject(data, pw, tamper: dict):
+    """Prove with the honest witness overwritten at ``tamper`` targets;
+    the resulting proof must fail verification."""
+    pre = preprocess(data)
+    w = np.asarray(
+        data.witness_fn(jnp.asarray(pw.initial_vector(data)))).copy()
+    for t, v in tamper.items():
+        w[int(t)] = int(v) % gl.P
+    wj = jnp.asarray(w)
+    forged = dataclasses.replace(data, witness_fn=lambda w0: wj)
+    proof = prove(forged, pw)
+    with pytest.raises(VerificationError):
+        verify(pre["vk"], proof)
+
+
+# --------------------------------------------------------------------- #
+# 64-bit split: booleanness, recombination, canonicity
+# --------------------------------------------------------------------- #
+
+X_VAL = 12345
+
+
+@pytest.fixture(scope="module")
+def split64():
+    b = CircuitBuilder(TEST_CONFIG)
+    x = b.add_virtual_target()
+    b.register_public_input(x)
+    n_ops = len(b._ops)
+    bits = b.split_le(x, 64)
+    split_ops = b._ops[n_ops:]
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(x, X_VAL)
+    return data, pw, bits, split_ops
+
+
+def test_forged_nonboolean_bit(split64):
+    data, pw, bits, _ = split64
+    # bit0 of 12345 is 1; claim it is 2 (breaks b*(b-1) == 0)
+    _forge_and_expect_reject(data, pw, {bits[0]: 2})
+
+
+def test_forged_decomposition_bit_flip(split64):
+    data, pw, bits, _ = split64
+    # flip a zero bit to one (still boolean; recombination sum breaks)
+    assert (X_VAL >> 20) & 1 == 0
+    _forge_and_expect_reject(data, pw, {bits[20]: 1})
+
+
+def test_noncanonical_u64_encoding_rejected(split64):
+    """The alias encoding: bits of X_VAL + p recombine to X_VAL mod p and
+    are all boolean, so WITHOUT the canonicity constraint this witness
+    satisfies the basesum rows while presenting completely different
+    plain bits (the attack surface: rotation amounts, FRI query
+    indices). Every auxiliary target introduced by the canonicity
+    gadget is set to its satisfying value, so the canonicality row is
+    the only unsatisfied constraint."""
+    data, pw, bits, split_ops = split64
+    alias = X_VAL + gl.P                      # < 2^64
+    assert alias < 2**64
+    tamper = {int(bits[i]): (alias >> i) & 1 for i in range(64)}
+    # ops appended by split_le_vec after the "split" op:
+    #   lesum(lo) | lesum(hi) | eq(hi_val, 2^32-1) | arith diff | arith md
+    kinds = [op.kind for op in split_ops]
+    assert kinds == ["split", "lesum", "lesum", "eq", "arith", "arith"]
+    lo_out = int(split_ops[1].data["out"][0])
+    hi_out = int(split_ops[2].data["out"][0])
+    flag = int(split_ops[3].data["out"][0])
+    m_aux = int(split_ops[3].data["m"][0])
+    diff = int(split_ops[4].data["out"][0])
+    md = int(split_ops[5].data["out"][0])
+    lo_val = alias & 0xFFFFFFFF
+    hi_val = alias >> 32
+    assert hi_val == 2**32 - 1 and lo_val == X_VAL + 1
+    tamper.update({
+        lo_out: lo_val, hi_out: hi_val,
+        flag: 1, m_aux: 0,        # hi == all-ones, so out must be 1
+        diff: 0, md: 0,           # diff = hi_val - (2^32-1) = 0
+    })
+    # the only violated row is flag * lo_val == 0
+    _forge_and_expect_reject(data, pw, tamper)
+
+
+# --------------------------------------------------------------------- #
+# select control booleanness
+# --------------------------------------------------------------------- #
+
+def test_forged_select_control_nonboolean():
+    b = CircuitBuilder(TEST_CONFIG)
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    b.register_public_inputs([x, y])
+    ctrl = b.add_virtual_bool_target_safe()
+    out = b.select(ctrl, x, y)
+    data = b.build()
+    pw = PartialWitness()
+    xv, yv = 11, 22
+    pw.set_target(x, xv)
+    pw.set_target(y, yv)
+    pw.set_target(ctrl, 1)
+    # ctrl = 2 with out = 2*(x-y) + y keeps the select row satisfied;
+    # only booleanness breaks
+    _forge_and_expect_reject(data, pw, {
+        ctrl: 2, out: (2 * (xv - yv) + yv) % gl.P})
+
+
+# --------------------------------------------------------------------- #
+# is_equal inverse witness
+# --------------------------------------------------------------------- #
+
+def test_forged_is_equal_claims_equality():
+    b = CircuitBuilder(TEST_CONFIG)
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    b.register_public_inputs([x, y])
+    eqt = b.is_equal(x, y)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(x, 3)
+    pw.set_target(y, 7)
+    # x != y but the prover claims out = 1: out*diff == 0 breaks
+    _forge_and_expect_reject(data, pw, {eqt: 1})
+
+
+# --------------------------------------------------------------------- #
+# Poseidon round constraints
+# --------------------------------------------------------------------- #
+
+def test_forged_sponge_intermediate_state():
+    b = CircuitBuilder(TEST_CONFIG)
+    xs = b.add_virtual_targets(4)
+    b.register_public_inputs(xs)
+    b.hash_n_to_hash_no_pad(xs)           # one permutation (partial chunk)
+    # the poseidon witness op holds the (L, 30, 12) round-state targets
+    pos_ops = [op for op in b._ops if op.kind == "poseidon"]
+    assert pos_ops
+    states = pos_ops[0].data["states"]
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target_arr(xs, np.arange(1, 5, dtype=np.uint64))
+    # corrupt one element of a middle (partial) round state
+    honest = np.asarray(
+        data.witness_fn(jnp.asarray(pw.initial_vector(data))))
+    t = int(states[0, 15, 3])
+    _forge_and_expect_reject(data, pw, {t: (int(honest[t]) + 1) % gl.P})
+
+
+def test_forged_precomputed_sponge_carry():
+    """witness_fn_pre trusts the carries handed to it; a wrong carry must
+    yield an unsatisfiable witness, not a wrong-but-accepted proof."""
+    b = CircuitBuilder(TEST_CONFIG)
+    xs = b.add_virtual_targets(16)        # two full rate-8 chunks
+    b.register_public_inputs(xs)
+    hh = b.hash_n_to_hash_no_pad(xs)
+    b.register_public_inputs(hh)
+    data = b.build()
+    assert data.sponges
+    pw = PartialWitness()
+    vals = np.arange(1, 17, dtype=np.uint64)
+    pw.set_target_arr(xs, vals)
+    from vfhe_tpu.hashing import poseidon as HP
+    digest = HP.hash_no_pad_host([int(v) for v in vals])
+    pw.set_target_arr(hh, np.array(digest, np.uint64))
+    pw.precompute_sponges(data)
+    assert pw.sponges_precomputed
+    # corrupt one precomputed carry lane (later set_target wins)
+    carry_t = int(data.sponges[0]["carries"][0, 0, 0])
+    pre = preprocess(data)
+    w0 = pw.initial_vector(data)
+    pw.set_target(carry_t, (int(w0[carry_t]) + 1) % gl.P)
+    proof = prove(data, pw)
+    with pytest.raises(VerificationError):
+        verify(pre["vk"], proof)
+
+
+# --------------------------------------------------------------------- #
+# copy constraints and arithmetic outputs
+# --------------------------------------------------------------------- #
+
+def test_forged_copy_constraint():
+    b = CircuitBuilder(TEST_CONFIG)
+    u = b.add_virtual_target()
+    b.register_public_input(u)
+    v = b.add_virtual_target()
+    b.connect(u, v)                       # v copies u
+    z = b.add(v, b.one())                 # v occupies a routed cell
+    z2 = b.add(u, b.one())                # u occupies a routed cell
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(u, 9)
+    # v = u + 5 with its arithmetic row kept consistent: only the
+    # sigma/permutation argument breaks
+    _forge_and_expect_reject(data, pw, {v: 14, z: 15})
+    del z2
+
+
+def test_forged_arithmetic_output():
+    b = CircuitBuilder(TEST_CONFIG)
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    b.register_public_inputs([x, y])
+    z = b.mul(x, y)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(x, 6)
+    pw.set_target(y, 7)
+    _forge_and_expect_reject(data, pw, {z: 43})

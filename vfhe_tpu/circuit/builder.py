@@ -224,12 +224,35 @@ class CircuitBuilder:
         self._arith_vec(1, gl.P - 1, t, t, t, out=zero)
 
     def split_le_vec(self, x, nbits: int) -> np.ndarray:
-        """(L,) targets -> (L, nbits) bit targets, little-endian."""
+        """(L,) targets -> (L, nbits) bit targets, little-endian.
+
+        For ``nbits == 64`` a canonicity constraint is added: the BASESUM
+        row only enforces sum(b_i 2^i) == x mod p, so every x < 2^32 - 1
+        would otherwise admit a SECOND satisfying bit pattern (that of
+        x + p). Downstream consumers read the plain bits (rotation
+        amounts in gadgets/ops.py, FRI query indices in
+        ivc/verifier_circuit.py), so the alias encoding is a real
+        soundness hole — a malicious prover could steer a different
+        rotation / open a different Merkle leaf. The non-canonical range
+        [p, 2^64) is exactly {hi32 == 0xFFFFFFFF and lo32 >= 1}, so we
+        enforce (hi32 == 2^32 - 1) -> lo32 == 0. nbits <= 63 splits are
+        injective (max sum < p) and need nothing."""
         x = _np_idx(x)
         bits = self.add_virtual_targets(x.size * nbits).reshape(x.size, nbits)
         self._defined.update(bits.ravel().tolist())
         self._ops.append(_WitnessOp("split", dict(x=x, bits=bits)))
         self._basesum.setdefault(nbits, []).append((x, bits))
+        assert nbits <= 64
+        if nbits == 64:
+            L = bits.shape[0]
+            lo_val = self.le_sum_vec(bits[:, :32])
+            hi_val = self.le_sum_vec(bits[:, 32:])
+            allones = np.full(L, self.constant((1 << 32) - 1),
+                              dtype=np.int64)
+            flag = self.is_equal_vec(hi_val, allones)
+            zero = np.full(L, self.zero(), dtype=np.int64)
+            # flag * lo_val == 0
+            self._arith_vec(1, 0, flag.ravel(), lo_val, zero, out=zero)
         return bits
 
     def le_sum_vec(self, bits) -> np.ndarray:

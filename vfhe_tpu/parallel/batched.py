@@ -56,17 +56,45 @@ def make_step_core(sc_data):
 
 
 def make_batched_step_core(sc_data, mesh):
-    """vmap the per-instance core over a leading batch axis and shard it
-    over the mesh's dp axis."""
-    core = make_step_core(sc_data)
-    batched = jax.vmap(core, in_axes=(0, 0, 0, 0, 0))
+    """The batched device pipeline with REAL (dp, col) sharding: the
+    batch axis over ``dp``, and inside each instance the polynomial
+    COLUMNS over ``col`` for iFFT/coset-LDE (columns are independent —
+    zero communication), with the Merkle leaf hashing row-sharded (the
+    single col<->row transpose is the all-to-all XLA inserts). The
+    permutation/quotient kernels run dp-sharded (their column count per
+    challenge is small)."""
+    pre = preprocess(sc_data)
+    cfg = sc_data.config
+    wire_index = jnp.asarray(sc_data.wire_index)
+    witness_b = jax.vmap(sc_data.witness_fn)
+    perm_b = jax.vmap(pre["perm_fn"], in_axes=(0, 0, 0, None))
+    quot_b = jax.vmap(pre["quotient_fn"], in_axes=(0, 0, 0, 0, 0, 0, None))
 
-    def sharded(w0_batch, betas, gammas, alphas, pi_hash):
-        w0_batch = jax.lax.with_sharding_constraint(
-            w0_batch, NamedSharding(mesh, P("dp", None)))
-        return batched(w0_batch, betas, gammas, alphas, pi_hash)
+    def shard(x, *axes):
+        spec = [None] * x.ndim
+        spec[0] = "dp"
+        for ax, name in axes:
+            spec[ax] = name
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
 
-    return jax.jit(sharded)
+    def core(w0_batch, betas, gammas, alphas, pi_hash):
+        w = witness_b(shard(w0_batch))
+        trace = w[:, wire_index]                       # (B, h, W)
+        wires_cols = shard(jnp.swapaxes(trace, 1, 2), (1, "col"))
+        wire_coeffs = ifft(wires_cols)                 # per-column FFTs
+        wire_lde = shard(coset_lde(wire_coeffs, cfg.rate_bits), (1, "col"))
+        # leaf hashing: rows over col (the transpose = one all-to-all)
+        rows = shard(jnp.swapaxes(wire_lde, 1, 2), (1, "col"))
+        digests = HP.hash_no_pad(rows)
+        aux = perm_b(trace[:, :, :cfg.num_routed_wires], betas, gammas,
+                     pre["tables"])
+        aux_lde = coset_lde(ifft(shard(aux, (1, "col"))), cfg.rate_bits)
+        quot = quot_b(wire_lde, aux_lde, pi_hash, betas, gammas, alphas,
+                      pre["tables"])
+        return digests, quot
+
+    return jax.jit(core)
 
 
 def sharded_ntt(mesh):

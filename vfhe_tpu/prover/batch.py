@@ -90,7 +90,12 @@ def _batched_fns(data_id: int):
     return {}
 
 
-def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
+def prove_batch(data: CircuitData, pws: list, timing=None,
+                mesh=None) -> list:
+    """``mesh``: optional jax.sharding.Mesh — the batch axis is placed on
+    the mesh's ``dp`` axis and every device stage (witness gen through
+    FRI folds and query-opening gathers) runs SPMD over it; transcripts
+    stay on the host per instance, as always."""
     tt = timing if timing is not None else TimingTree("prove_batch")
     cfg = data.config
     h = data.h
@@ -112,6 +117,9 @@ def prove_batch(data: CircuitData, pws: list, timing=None) -> list:
 
     with tt.scope("witness"):
         w0 = jnp.asarray(np.stack([pw.initial_vector(data) for pw in pws]))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            w0 = jax.device_put(w0, NamedSharding(mesh, P("dp", None)))
         all_pre = all(pw.sponges_precomputed for pw in pws)
         w = cache["witness_pre" if all_pre else "witness"](w0)
         trace = w[:, jnp.asarray(data.wire_index)]       # (B, h, W)
