@@ -10,7 +10,8 @@ from vfhe_tpu.field import goldilocks as gl
 from vfhe_tpu.crypto import (poly as cpoly, lwe as clwe, glwe as cglwe,
                              ggsw as cggsw, compute_bsk)
 from vfhe_tpu.circuit import TEST_CONFIG
-from vfhe_tpu.ivc import TEST_PARAMS, verified_pbs, verify_pbs
+from vfhe_tpu.ivc import (TEST_PARAMS, VpbsParams, verified_pbs,
+                          verify_pbs)
 
 KEY = jax.random.PRNGKey(2024)
 
@@ -49,6 +50,47 @@ def test_full_vpbs_chain():
     m_out = cglwe.decrypt(out_ct, s_to)
     neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
     check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)
+
+
+@pytest.mark.slow
+def test_mid_scale_vpbs_chain():
+    """N=64, n=8 chain (10 steps) — covers parameter scaling between the
+    toy (N=8, n=1) and paper (N=1024, n=728) regimes, the band where the
+    reference documents mod-switch-rounding flakiness (README.md:13).
+
+    Oracle: with sigma=0 every CMUX is exact, so the output accumulator
+    must equal the test vector rotated by EXACTLY
+    total = ms(-b) + sum_i s_i * ms(a_i)  (mod 2N), ms = mod-switch —
+    the per-element rounded shifts the circuit actually applies (step 1
+    negates the body in-circuit, vpbs.py:130-132 / ivc:110-112), rather
+    than the drift-prone ms(-delta*m) approximation of check_rotation."""
+    p = VpbsParams(n=8, N=64, K=2, ELL=8, LOGB=8, p=2)
+    k1, k2, k3, k4, k5 = jax.random.split(KEY, 5)
+
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    m = 5
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(delta, m), 0.0)
+
+    out_ct, proofs, sc = verified_pbs(ct, testv, bsk, ksk, p,
+                                      config=TEST_CONFIG)
+    verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc)
+
+    ct_np = np.asarray(ct)
+    total = int(clwe.mod_switch_element(gl.neg(jnp.uint64(ct_np[-1])), p.N))
+    for i in range(p.n):
+        if int(s_lwe[i]):
+            total += int(clwe.mod_switch_element(jnp.uint64(ct_np[i]), p.N))
+    m_out = cglwe.decrypt(out_ct, s_to)
+    want = np.asarray(cpoly.rotate_monomial(testv,
+                                            total % (2 * p.N)))
+    assert (np.asarray(m_out) == want).all()
 
 
 @pytest.mark.slow
