@@ -74,12 +74,18 @@ def main() -> int:
     extra(f"ntt_dependent_chain_butterflies_per_s_N{n}", bflies / dt_dep,
           "butterflies/s/chip")
 
-    # Poseidon permutations/s (bounds Merkle commit + witness sponges)
+    # Poseidon permutations/s (bounds Merkle commit + witness sponges).
+    # "standard" = the full-MDS rounds (witness-gen form); "fast" = the
+    # optimized sparse partial rounds all Merkle/transcript/PoW hashing
+    # uses (bit-identical, hashing/poseidon.permute_fast).
     pbatch = 1 << 15
     st = jnp.asarray(rng.integers(0, gl.P, (pbatch, 12), dtype=np.uint64))
     perm = jax.jit(HP.permute)
     dtp = _time(lambda: perm(st), iters)
-    extra("poseidon_permutations_per_s", pbatch * iters / dtp,
+    extra("poseidon_permutations_per_s_standard", pbatch * iters / dtp,
+          "permutations/s/chip")
+    dtpf = _time(lambda: HP.permute_fast_jit(st, False), iters)
+    extra("poseidon_permutations_per_s", pbatch * iters / dtpf,
           "permutations/s/chip")
 
     # roofline context: a standalone u64 mulmod at this footprint is

@@ -75,6 +75,28 @@ def test_decompose_gadget_matches_native(rng):
     assert (got == want).all()
 
 
+def test_decompose_logb5_65bit_split_proves(rng):
+    """Paper-parameter decomposition (LOGB=5 -> 13 limbs -> 65-bit
+    splits): the >64-bit canonicity rows (extra bits constrained zero)
+    must hold for honest witnesses through a full prove+verify."""
+    logb, nlimbs = 5, 13
+    vals = np.concatenate([
+        rng.integers(0, gl.P, 4, dtype=np.uint64),
+        np.array([0, gl.P - 1, (1 << 32) - 2, 1 << 63], dtype=np.uint64)])
+    b = CircuitBuilder(TEST_CONFIG)
+    xs = b.add_virtual_targets(vals.size)
+    b.register_public_inputs(xs)
+    limbs = decompose_vec(b, xs, logb, nlimbs)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target_arr(xs, vals)
+    w = data.eval_witness(pw)
+    want = np.asarray(cggsw.signed_decompose(jnp.asarray(vals), logb, nlimbs))
+    assert (w[limbs] == want).all()
+    proof = prove(data, pw)
+    verify(preprocess(data)["vk"], proof)
+
+
 def test_poly_rotate_gadget():
     # ref: test_poly_rotate (vtfhe/mod.rs:188-220)
     k1, k2 = keys(2)

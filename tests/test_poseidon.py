@@ -63,6 +63,22 @@ def test_permute_matches_python_model(rng):
         assert [int(x) for x in s_out] == want
 
 
+def test_permute_fast_bit_identical(rng):
+    """The optimized partial-round form (sparse per-round matrices,
+    constants.fast_partial_data) must be bit-identical to the standard
+    rounds in both scan and unrolled lowering — it backs all Merkle /
+    transcript / PoW hashing."""
+    states = rng.integers(0, P, (64, 12), dtype=np.uint64)
+    want = np.asarray(H.permute_jit(jnp.asarray(states)))
+    got_scan = np.asarray(H.permute_fast(jnp.asarray(states)))
+    got_unrl = np.asarray(H.permute_fast(jnp.asarray(states), True))
+    assert (got_scan == want).all()
+    assert (got_unrl == want).all()
+    # scalar (unbatched) state as used in sequential sponge bodies
+    one = np.asarray(H.permute_fast(jnp.asarray(states[0]), True))
+    assert (one == want[0]).all()
+
+
 def test_permute_batched_consistent(rng):
     states = rng.integers(0, P, (4, 5, 12), dtype=np.uint64)
     full = np.asarray(H.permute_jit(jnp.asarray(states)))

@@ -61,6 +61,7 @@ def split64():
     n_ops = len(b._ops)
     bits = b.split_le(x, 64)
     split_ops = b._ops[n_ops:]
+    assert [op.kind for op in split_ops] == ["split"]
     data = b.build()
     pw = PartialWitness()
     pw.set_target(x, X_VAL)
@@ -82,35 +83,55 @@ def test_forged_decomposition_bit_flip(split64):
 
 def test_noncanonical_u64_encoding_rejected(split64):
     """The alias encoding: bits of X_VAL + p recombine to X_VAL mod p and
-    are all boolean, so WITHOUT the canonicity constraint this witness
-    satisfies the basesum rows while presenting completely different
+    are all boolean, so WITHOUT the canonicity constraints this witness
+    would satisfy the basesum rows while presenting completely different
     plain bits (the attack surface: rotation amounts, FRI query
-    indices). Every auxiliary target introduced by the canonicity
-    gadget is set to its satisfying value, so the canonicality row is
-    the only unsatisfied constraint."""
+    indices). The BASESUM_CANON row's aux wires [lo, hi, u, t1] are set
+    consistently with the alias bits, so the canonicity row
+    lo*(t1-1) == 0 is the only unsatisfied constraint."""
     data, pw, bits, split_ops = split64
     alias = X_VAL + gl.P                      # < 2^64
     assert alias < 2**64
     tamper = {int(bits[i]): (alias >> i) & 1 for i in range(64)}
-    # ops appended by split_le_vec after the "split" op:
-    #   lesum(lo) | lesum(hi) | eq(hi_val, 2^32-1) | arith diff | arith md
-    kinds = [op.kind for op in split_ops]
-    assert kinds == ["split", "lesum", "lesum", "eq", "arith", "arith"]
-    lo_out = int(split_ops[1].data["out"][0])
-    hi_out = int(split_ops[2].data["out"][0])
-    flag = int(split_ops[3].data["out"][0])
-    m_aux = int(split_ops[3].data["m"][0])
-    diff = int(split_ops[4].data["out"][0])
-    md = int(split_ops[5].data["out"][0])
+    aux = split_ops[0].data["aux"][0]         # [lo, hi, u, t1]
     lo_val = alias & 0xFFFFFFFF
     hi_val = alias >> 32
     assert hi_val == 2**32 - 1 and lo_val == X_VAL + 1
-    tamper.update({
-        lo_out: lo_val, hi_out: hi_val,
-        flag: 1, m_aux: 0,        # hi == all-ones, so out must be 1
-        diff: 0, md: 0,           # diff = hi_val - (2^32-1) = 0
-    })
-    # the only violated row is flag * lo_val == 0
+    # hi == eps => (hi-eps)*u == t1 forces t1 = 0 for any u
+    tamper.update({int(aux[0]): lo_val, int(aux[1]): hi_val,
+                   int(aux[2]): 0, int(aux[3]): 0})
+    # the only violated row is lo * (t1 - 1) == 0
+    _forge_and_expect_reject(data, pw, tamper)
+
+
+def test_noncanonical_65bit_encoding_rejected():
+    """65-bit splits (LOGB=5 decomposition, ceil(64/5)*5 bits — same
+    shape as plonky2's split_le there) admit exactly one alias, x+p,
+    which sets bit 64. The aux wires are set consistently with the
+    alias bits, so the pinned-zero row for bit 64 is the only
+    unsatisfied constraint."""
+    x_val = 1 << 40
+    b = CircuitBuilder(TEST_CONFIG)
+    x = b.add_virtual_target()
+    b.register_public_input(x)
+    n_ops = len(b._ops)
+    bits = b.split_le(x, 65)
+    split_ops = b._ops[n_ops:]
+    assert [op.kind for op in split_ops] == ["split"]
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(x, x_val)
+
+    alias = x_val + gl.P
+    assert alias < 2**65 and (alias >> 64) & 1 == 1
+    tamper = {int(bits[i]): (alias >> i) & 1 for i in range(65)}
+    lo_val = alias & 0xFFFFFFFF
+    hi_val = (alias >> 32) & 0xFFFFFFFF
+    assert hi_val != 2**32 - 1
+    aux = split_ops[0].data["aux"][0]
+    d = (hi_val - (2**32 - 1)) % gl.P
+    tamper.update({int(aux[0]): lo_val, int(aux[1]): hi_val,
+                   int(aux[2]): pow(d, gl.P - 2, gl.P), int(aux[3]): 1})
     _forge_and_expect_reject(data, pw, tamper)
 
 

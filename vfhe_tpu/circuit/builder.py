@@ -22,6 +22,11 @@ zero-filled and unrouted):
             in constant columns 0/1 and are shared per row.
   BASESUM_b wires [sum, bit_0 .. bit_{b-1}]; constraints: binary bits +
             little-endian recombination (plonky2 BaseSumGate<2>).
+  BASESUM_CANON_b (b >= 64) wires [sum, bits.., lo, hi, u, t1]; the
+            BASESUM constraints (bits past 63 pinned to zero) plus
+            canonical-encoding enforcement in the same row:
+            lo/hi = 32-bit half sums, (hi - eps)*u == t1,
+            lo*(t1 - 1) == 0  (so hi == eps forces lo == 0).
   POS_A/B/C a Poseidon permutation split over three rows of 10 rounds;
             wires [state_in(12) | state_out(12) | 9 inner states(108)].
   CONST     4 wires pinned to constant columns (plonky2 ConstantGate).
@@ -45,7 +50,8 @@ from ..hashing import poseidon as HP
 from .config import CircuitConfig, STANDARD_CONFIG
 
 # gate kind tags
-NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI, SELECT = range(9)
+(NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI, SELECT,
+ BASESUM_CANON) = range(10)
 SELECT_LANES = 20
 
 ARITH_LANES = 20
@@ -84,6 +90,8 @@ class CircuitBuilder:
         # row ledgers
         self._arith_groups: dict[tuple[int, int], list] = {}
         self._basesum: dict[int, list] = {}   # nbits -> [(sum(L,), bits(L,b))]
+        # nbits -> [(sum(L,), bits(L,b), aux(L,4)=[lo,hi,u,t1])]
+        self._basesum_canon: dict[int, list] = {}
         self._poseidon: list = []             # (in(L,12), states(L,30,12))
         self._sponges: list = []              # carry-precompute descriptors
         self._select: list = []               # (b, x, y, out) flat lanes
@@ -236,23 +244,32 @@ class CircuitBuilder:
         rotation / open a different Merkle leaf. The non-canonical range
         [p, 2^64) is exactly {hi32 == 0xFFFFFFFF and lo32 >= 1}, so we
         enforce (hi32 == 2^32 - 1) -> lo32 == 0. nbits <= 63 splits are
-        injective (max sum < p) and need nothing."""
+        injective (max sum < p) and need nothing.
+
+        nbits > 64 (the 65-bit splits of LOGB=5 decomposition,
+        ceil(64/5)*5; the reference's plonky2 split_le has the same
+        aliasing there) reduces to the 64-bit case by constraining every
+        bit above 63 to zero — split inputs are u64 field values, so
+        honest witnesses always have them zero, and the only alias for
+        65 bits is x+p (x+2p = x + 2^65 + 2 never fits).
+
+        The whole check lives INSIDE the split's own row (BASESUM_CANON:
+        wires [s, bits.., lo, hi, u, t1], constraints lo/hi bit-sums,
+        (hi-eps)*u == t1, lo*(t1-1) == 0) so it costs ZERO extra rows —
+        at paper params a lesum-based gadget pushed the step circuit
+        from 2^15 to 2^16 rows, doubling every prover phase."""
         x = _np_idx(x)
-        bits = self.add_virtual_targets(x.size * nbits).reshape(x.size, nbits)
+        L = x.size
+        bits = self.add_virtual_targets(L * nbits).reshape(L, nbits)
         self._defined.update(bits.ravel().tolist())
-        self._ops.append(_WitnessOp("split", dict(x=x, bits=bits)))
-        self._basesum.setdefault(nbits, []).append((x, bits))
-        assert nbits <= 64
-        if nbits == 64:
-            L = bits.shape[0]
-            lo_val = self.le_sum_vec(bits[:, :32])
-            hi_val = self.le_sum_vec(bits[:, 32:])
-            allones = np.full(L, self.constant((1 << 32) - 1),
-                              dtype=np.int64)
-            flag = self.is_equal_vec(hi_val, allones)
-            zero = np.full(L, self.zero(), dtype=np.int64)
-            # flag * lo_val == 0
-            self._arith_vec(1, 0, flag.ravel(), lo_val, zero, out=zero)
+        if nbits < 64:
+            self._ops.append(_WitnessOp("split", dict(x=x, bits=bits)))
+            self._basesum.setdefault(nbits, []).append((x, bits))
+            return bits
+        aux = self.add_virtual_targets(L * 4).reshape(L, 4)
+        self._defined.update(aux.ravel().tolist())
+        self._ops.append(_WitnessOp("split", dict(x=x, bits=bits, aux=aux)))
+        self._basesum_canon.setdefault(nbits, []).append((x, bits, aux))
         return bits
 
     def le_sum_vec(self, bits) -> np.ndarray:
@@ -563,6 +580,9 @@ class CircuitBuilder:
             rows += -(-lanes // ARITH_LANES)
         for nbits, entries in self._basesum.items():
             lanes_pr = max(1, self.config.num_routed_wires // (nbits + 1))
+            rows += -(-sum(e[0].size for e in entries) // lanes_pr)
+        for nbits, entries in self._basesum_canon.items():
+            lanes_pr = max(1, self.config.num_routed_wires // (nbits + 5))
             rows += -(-sum(e[0].size for e in entries) // lanes_pr)
         sel_lanes = sum(s[0].size for s in self._select)
         rows += -(-sel_lanes // SELECT_LANES)

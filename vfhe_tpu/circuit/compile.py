@@ -20,9 +20,9 @@ import jax.numpy as jnp
 from ..field import goldilocks as gl
 from ..hashing import constants as HC
 from ..hashing import poseidon as HP
-from .builder import (NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI,
-                      SELECT, ARITH_LANES, SELECT_LANES, CircuitBuilder,
-                      GateInstance)
+from .builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS_A, POS_B,
+                      POS_C, CONST, PI, SELECT, ARITH_LANES, SELECT_LANES,
+                      CircuitBuilder, GateInstance)
 from .config import CircuitConfig
 
 
@@ -138,6 +138,28 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
             consts_rows.append([0, 0, 0, 0])
             kinds.append((BASESUM, nbits))
 
+    # ---- canonical base-sum rows (bits + in-row canonicity aux) ---------
+    for nbits, entries in sorted(b._basesum_canon.items()):
+        sums = np.concatenate([e[0] for e in entries])
+        bits = np.concatenate([e[1] for e in entries], axis=0)
+        aux = np.concatenate([e[2] for e in entries], axis=0)
+        lanes_pr = max(1, cfg.num_routed_wires // (nbits + 5))
+        L = sums.size
+        nrows = -(-L // lanes_pr)
+        padn = nrows * lanes_pr - L
+        if padn:
+            sums = np.concatenate([sums, np.full(padn, zero_t)])
+            bits = np.concatenate(
+                [bits, np.full((padn, nbits), zero_t)], axis=0)
+            aux = np.concatenate(
+                [aux, np.full((padn, 4), zero_t)], axis=0)
+        lanes = np.concatenate([sums[:, None], bits, aux], axis=1)
+        lanes = lanes.reshape(nrows, lanes_pr * (nbits + 5))
+        for r in range(nrows):
+            wires_rows.append(lanes[r])
+            consts_rows.append([0, 0, 0, 0])
+            kinds.append((BASESUM_CANON, nbits))
+
     # ---- poseidon rows --------------------------------------------------
     for inp, st in b._poseidon:
         L = inp.shape[0]
@@ -184,7 +206,7 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
     gates: list[GateInstance] = []
     sel_of_row = np.full(h, -1, dtype=np.int64)
     for r, (kind, param) in enumerate(kinds):
-        key = (kind, param if kind == BASESUM else 0)
+        key = (kind, param if kind in (BASESUM, BASESUM_CANON) else 0)
         if kind == NOOP:
             continue
         if key not in gate_key_to_sel:
@@ -192,6 +214,8 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
             lanes = 1
             if key[0] == BASESUM:
                 lanes = max(1, cfg.num_routed_wires // (key[1] + 1))
+            elif key[0] == BASESUM_CANON:
+                lanes = max(1, cfg.num_routed_wires // (key[1] + 5))
             gates.append(GateInstance(kind=key[0], param=key[1],
                                       selector=len(gates), lanes=lanes))
         sel_of_row[r] = gate_key_to_sel[key]
@@ -325,6 +349,16 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
                 bits = ((x[:, None] >> cl[None, :]) >> extra[None, :]) \
                     & jnp.uint64(1)
                 w = w.at[d["bits"]].set(bits)
+                if "aux" in d:
+                    # canonicity aux [lo, hi, u, t1] of the BASESUM_CANON
+                    # row: half-sums fit u64 exactly (bits are 0/1)
+                    lo = x & jnp.uint64(0xFFFF_FFFF)
+                    hi = x >> jnp.uint64(32)
+                    diff = gl.sub(hi, jnp.uint64(0xFFFF_FFFF))
+                    u = gl.inv(diff)
+                    t1 = gl.mul(diff, u)
+                    w = w.at[d["aux"]].set(
+                        jnp.stack([lo, hi, u, t1], axis=-1))
             elif op.kind == "lesum":
                 bits_v = w[d["bits"]]
                 nbits = d["bits"].shape[1]

@@ -116,6 +116,71 @@ def permute_all_states(state: jnp.ndarray) -> jnp.ndarray:
 permute_jit = jax.jit(permute)
 
 
+def _add_reduce(terms):
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = gl.add(acc, t)
+    return acc
+
+
+def _dense_mul(m: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """out_i = sum_j m[i,j] * y[..., j] with FULL field entries (the
+    small-entry accumulator trick of :func:`_mds` does not apply)."""
+    prods = gl.mul(m, y[..., None, :])            # (..., 12, 12)
+    return _add_reduce([prods[..., j] for j in range(prods.shape[-1])])
+
+
+def permute_fast(state: jnp.ndarray, unroll: bool = False) -> jnp.ndarray:
+    """Bit-identical Poseidon permutation with the optimized partial
+    rounds (Poseidon paper App. B / plonky2's fast path): each partial
+    round costs one sparse (23-mul) layer instead of a dense MDS.
+    Derived from this instance's own constants (constants.
+    fast_partial_data) and pinned equal to :func:`permute` by test.
+
+    Used for Merkle trees / transcripts / PoW — any hashing that does
+    not need the per-round witness states (Poseidon GATES constrain the
+    standard round form, so witness generation keeps permute_all_states
+    and the host/C++ mirrors keep the standard rounds as the oracle).
+    ``unroll=True`` inlines the rounds (for sequential sponge scan
+    bodies, where per-round scan overhead dominates)."""
+    rc = jnp.asarray(C.all_round_constants())
+    dense, row0, col, dconsts = (jnp.asarray(a)
+                                 for a in C.fast_partial_data())
+    f = C.HALF_FULL_ROUNDS
+    p = C.N_PARTIAL_ROUNDS
+
+    def full_rounds(s, rcs):
+        if unroll:
+            for i in range(rcs.shape[0]):
+                s = _mds(_sbox(gl.add(s, rcs[i])))
+            return s
+        return _scan_phase(s, rcs, False)[0]
+
+    def sparse_round(s, r0, cl, d):
+        s = gl.add(s, d)
+        s0 = _sbox(s[..., 0])
+        new0 = _add_reduce(
+            [gl.mul(r0[0], s0)]
+            + [gl.mul(r0[j], s[..., j]) for j in range(1, s.shape[-1])])
+        rest = gl.add(s[..., 1:], gl.mul(cl, s0[..., None]))
+        return jnp.concatenate([new0[..., None], rest], axis=-1)
+
+    state = full_rounds(state, rc[:f])
+    state = _dense_mul(dense, state)
+    if unroll:
+        for j in range(p):
+            state = sparse_round(state, row0[j], col[j], dconsts[j])
+    else:
+        def body(s, xs):
+            return sparse_round(s, *xs), None
+
+        state, _ = jax.lax.scan(body, state, (row0, col, dconsts))
+    return full_rounds(state, rc[f + p:])
+
+
+permute_fast_jit = jax.jit(permute_fast, static_argnums=1)
+
+
 def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
     """Sponge hash of (..., L) inputs to (..., 4) digests.
 
@@ -134,18 +199,18 @@ def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
         chunks = inputs[..., :full * C.RATE].reshape(*batch, full, C.RATE)
         chunks = jnp.moveaxis(chunks, -2, 0)          # (full, ..., 8)
 
-        perm = permute_unrolled if len(batch) == 0 else permute
+        unroll = len(batch) == 0
 
         def body(s, chunk):
             s = jnp.concatenate([chunk, s[..., C.RATE:]], axis=-1)
-            return perm(s), None
+            return permute_fast(s, unroll), None
 
         state, _ = jax.lax.scan(body, state, chunks)
     rem = length - full * C.RATE
     if rem:
         chunk = inputs[..., full * C.RATE:]
         state = jnp.concatenate([chunk, state[..., rem:]], axis=-1)
-        state = permute(state)
+        state = permute_fast(state)
     return state[..., :HASH_OUT_ELTS]
 
 
@@ -158,7 +223,7 @@ def two_to_one(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
     batch = left.shape[:-1]
     cap = jnp.zeros((*batch, C.WIDTH - 2 * HASH_OUT_ELTS), jnp.uint64)
     state = jnp.concatenate([left, right, cap], axis=-1)
-    return permute(state)[..., :HASH_OUT_ELTS]
+    return permute_fast(state)[..., :HASH_OUT_ELTS]
 
 
 two_to_one_jit = jax.jit(two_to_one)

@@ -204,23 +204,26 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
     cyclic fixpoint needs the selector count up front — the reference's
     analogue is common_data_for_recursion's fixed gate list,
     ivc_based_vpbs.rs:30-62). Row order in circuit/compile.py determines
-    selector indices: ARITH, SELECT, BASESUM (asc widths), POS_A/B/C,
-    CONST, PI."""
-    from ..circuit.builder import (ARITH, BASESUM, SELECT, POS_A, POS_B,
-                                   POS_C, CONST, PI, GateInstance)
+    selector indices: ARITH, SELECT, BASESUM (asc widths), BASESUM_CANON
+    (asc widths), POS_A/B/C, CONST, PI."""
+    from ..circuit.builder import (ARITH, BASESUM, BASESUM_CANON, SELECT,
+                                   POS_A, POS_B, POS_C, CONST, PI,
+                                   GateInstance)
     # Discover the step circuit's BASESUM widths by dry-building it
     # (cheap relative to a proof); union with the recursive verifier's
-    # own widths: 64-bit splits (PoW + query indices) and 32-bit le_sums
-    # (canonicity check halves).
+    # own widths: 64-bit canonical splits (PoW + query indices).
     probe = CircuitBuilder(config)
     build_step_circuit(probe, params)
-    widths = sorted(set(probe._basesum.keys()) | {32, 64})
+    widths = sorted(probe._basesum.keys())
+    canon_widths = sorted(set(probe._basesum_canon.keys()) | {64})
     gates = []
 
     def g(kind, param=0):
         lanes = 1
         if kind == BASESUM:
             lanes = max(1, config.num_routed_wires // (param + 1))
+        elif kind == BASESUM_CANON:
+            lanes = max(1, config.num_routed_wires // (param + 5))
         gates.append(GateInstance(kind=kind, param=param,
                                   selector=len(gates), lanes=lanes))
 
@@ -228,6 +231,8 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
     g(SELECT)
     for w in widths:
         g(BASESUM, w)
+    for w in canon_widths:
+        g(BASESUM_CANON, w)
     for k in (POS_A, POS_B, POS_C):
         g(k)
     g(CONST)

@@ -21,9 +21,11 @@ import jax.numpy as jnp
 from ..field import goldilocks as gl
 from ..field import extension as ee
 from ..hashing import constants as HC
-from ..circuit.builder import (NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C,
-                               CONST, PI, SELECT, ARITH_LANES, SELECT_LANES,
-                               POS_CHUNK)
+from ..circuit.builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS_A,
+                               POS_B, POS_C, CONST, PI, SELECT, ARITH_LANES,
+                               SELECT_LANES, POS_CHUNK)
+
+_EPS32 = (1 << 32) - 1
 
 
 class BaseOps:
@@ -117,6 +119,34 @@ def eval_gate(gate, F, wires, consts, pi_hash) -> list:
                 term = F.mul_int(b, pow(2, i, gl.P))
                 acc = term if acc is None else F.add(acc, term)
             cs.append(F.sub(acc, s))
+    elif kind == BASESUM_CANON:
+        # per lane: nbits bit rows (boolean below 64, pinned-zero above),
+        # recombination, lo/hi half-sums, (hi-eps)*u == t1, lo*(t1-1) == 0
+        nbits = gate.param
+        for lane in range(gate.lanes):
+            base = lane * (nbits + 5)
+            s = wires[base]
+            lo, hi, u, t1 = (wires[base + 1 + nbits + k] for k in range(4))
+            acc = lo_acc = hi_acc = None
+            for i in range(nbits):
+                b = wires[base + 1 + i]
+                if i < 64:
+                    cs.append(F.mul(b, F.sub(b, _one(F, b))))
+                else:
+                    cs.append(b)
+                term = F.mul_int(b, pow(2, i, gl.P))
+                acc = term if acc is None else F.add(acc, term)
+                if i < 32:
+                    t = F.mul_int(b, 1 << i)
+                    lo_acc = t if lo_acc is None else F.add(lo_acc, t)
+                elif i < 64:
+                    t = F.mul_int(b, 1 << (i - 32))
+                    hi_acc = t if hi_acc is None else F.add(hi_acc, t)
+            cs.append(F.sub(acc, s))
+            cs.append(F.sub(lo_acc, lo))
+            cs.append(F.sub(hi_acc, hi))
+            cs.append(F.sub(F.mul(F.add_int(hi, gl.P - _EPS32), u), t1))
+            cs.append(F.mul(lo, F.sub(t1, _one(F, t1))))
     elif kind in (POS_A, POS_B, POS_C):
         offset = {POS_A: 0, POS_B: POS_CHUNK, POS_C: 2 * POS_CHUNK}[kind]
         state = [wires[i] for i in range(12)]
@@ -191,6 +221,41 @@ def eval_gate_stacked(gate, wire_lde: jnp.ndarray, const_lde: jnp.ndarray,
         # order: per lane: bools then recomb (matches eval_gate)
         out = jnp.concatenate([bools, recomb], axis=1)  # (lanes, nb+1, n)
         return out.reshape(lanes * (nb + 1), n)
+    if kind == BASESUM_CANON:
+        nb = gate.param
+        lanes = gate.lanes
+        mat = wire_lde[:lanes * (nb + 5)].reshape(lanes, nb + 5, n)
+        s = mat[:, 0]
+        bits = mat[:, 1:1 + nb]                        # (lanes, nb, n)
+        lo, hi, u, t1 = (mat[:, 1 + nb + k] for k in range(4))
+        bools = gl.mul(bits, gl.sub(bits, jnp.uint64(1)))
+        if nb > 64:
+            bools = jnp.concatenate([bools[:, :64], bits[:, 64:]], axis=1)
+        pows = np.array([pow(2, i, gl.P) for i in range(nb)],
+                        dtype=np.uint64)
+        weighted = gl.mul(bits, jnp.asarray(pows)[None, :, None])
+
+        def body(carry, row):
+            return gl.add(carry, row), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((lanes, n), jnp.uint64),
+                                jnp.moveaxis(weighted, 1, 0))
+        pows32 = jnp.asarray(
+            np.array([1 << i for i in range(32)], dtype=np.uint64))
+        w_lo = gl.mul(bits[:, :32], pows32[None, :, None])
+        lo_sum, _ = jax.lax.scan(body, jnp.zeros((lanes, n), jnp.uint64),
+                                 jnp.moveaxis(w_lo, 1, 0))
+        w_hi = gl.mul(bits[:, 32:64], pows32[None, :, None])
+        hi_sum, _ = jax.lax.scan(body, jnp.zeros((lanes, n), jnp.uint64),
+                                 jnp.moveaxis(w_hi, 1, 0))
+        eps = jnp.uint64(_EPS32)
+        t1row = gl.sub(gl.mul(gl.sub(hi, eps), u), t1)
+        canon = gl.mul(lo, gl.sub(t1, jnp.uint64(1)))
+        out = jnp.concatenate(
+            [bools, gl.sub(total, s)[:, None], gl.sub(lo_sum, lo)[:, None],
+             gl.sub(hi_sum, hi)[:, None], t1row[:, None], canon[:, None]],
+            axis=1)                                    # (lanes, nb+5, n)
+        return out.reshape(lanes * (nb + 5), n)
     if kind == SELECT:
         idx = np.arange(SELECT_LANES) * 4
         b = wire_lde[idx]
@@ -239,6 +304,8 @@ def num_gate_constraints(gates) -> int:
             n += ARITH_LANES
         elif g.kind == BASESUM:
             n += (g.param + 1) * g.lanes
+        elif g.kind == BASESUM_CANON:
+            n += (g.param + 5) * g.lanes
         elif g.kind == SELECT:
             n += SELECT_LANES
         elif g.kind in (POS_A, POS_B, POS_C):

@@ -129,13 +129,17 @@ def grind(ch: Challenger, pow_bits: int) -> int:
         ch._outputs.clear()
     base_state = np.asarray(ch._state)
     bound = np.uint64(1) << np.uint64(64 - pow_bits)
-    batch = 4096
+    # expected hits ~ batch / 2^pow_bits per dispatch: size the batch so
+    # ONE device round-trip usually suffices (16-bit PoW -> 2^16 tries;
+    # a 2^17 batch of fast permutations is ~100 us of device time vs
+    # ~40 ms per tunnel round-trip)
+    batch = 1 << 17
     start = 0
     while True:
         cand = np.arange(start, start + batch, dtype=np.uint64)
         states = np.tile(base_state, (batch, 1))
         states[:, 0] = cand
-        out = np.asarray(H.permute_jit(jnp.asarray(states)))[:, 0]
+        out = np.asarray(H.permute_fast_jit(jnp.asarray(states)))[:, 0]
         hits = np.flatnonzero(out < bound)
         if hits.size:
             return int(cand[hits[0]])
