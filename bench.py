@@ -103,6 +103,32 @@ def main() -> int:
     extra("mulmod_effective_hbm_bandwidth", 24 * a.size * iters / dtm,
           "B/s")
 
+    # Pallas-vs-XLA lowering check (CLAUDE.md pitfall 8): same mulmod
+    # algorithm in explicit u32 lanes. HBM-bound single mul and a
+    # compute-bound in-register square chain. Skipped off-TPU.
+    try:
+        from vfhe_tpu.field import pallas_gl as pgl
+        if jax.devices()[0].platform != "cpu":
+            (pgl.mulmod(a, x).block_until_ready())
+            dtpal = _time(lambda: pgl.mulmod(a, x), iters)
+            extra("pallas_mulmod_per_s", a.size * iters / dtpal, "mulmods/s")
+            chain = 8
+            dtc_p = _time(lambda: pgl.mulmod(a, x, chain=chain), iters)
+
+            def xla_chain():
+                w = mul(a, x)
+                for _ in range(chain - 1):
+                    w = mul(w, w)
+                return w
+            xla_chain_j = jax.jit(xla_chain)
+            dtc_x = _time(xla_chain_j, iters)
+            extra("pallas_mulmod_chain8_per_s",
+                  a.size * chain * iters / dtc_p, "mulmods/s")
+            extra("xla_mulmod_chain8_per_s",
+                  a.size * chain * iters / dtc_x, "mulmods/s")
+    except Exception as e:                                  # noqa: BLE001
+        print(f"pallas bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"goldilocks_negacyclic_ntt_butterflies_per_s_N{n}",
         "value": rate,

@@ -70,18 +70,23 @@ def batched_open_path(tree: BatchedTree, b: int, index: int):
     return np.asarray(tree.leaf_data[b, index]), sibs
 
 
-def batched_open_paths_bulk(tree: BatchedTree, b: int, indices):
-    """Bulk path opening: one device gather per level."""
+def batched_open_paths_gather(tree: BatchedTree, b: int, indices) -> list:
+    """Stage the device gathers for one instance's path openings; combine
+    many instances/trees into ONE jax.device_get (merkle.
+    open_paths_finish pairs them back)."""
     idxs = np.asarray(indices, dtype=np.int64)
     fetch = [tree.leaf_data[b][jnp.asarray(idxs)]]
     cur = idxs.copy()
     for level in tree.levels[:-1]:
         fetch.append(level[b][jnp.asarray(cur ^ 1)])
         cur >>= 1
-    host = jax.device_get(fetch)
-    rows, sib_levels = host[0], host[1:]
-    return [(rows[qi], [lvl[qi] for lvl in sib_levels])
-            for qi in range(len(idxs))]
+    return fetch
+
+
+def batched_open_paths_bulk(tree: BatchedTree, b: int, indices):
+    """Bulk path opening: one device->host transfer."""
+    host = jax.device_get(batched_open_paths_gather(tree, b, indices))
+    return merkle.open_paths_finish(host, indices)
 
 
 @functools.lru_cache(maxsize=None)
@@ -239,6 +244,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
     with tt.scope("fri pow + queries"):
         proofs = []
         main_trees = [None, wires_tree, aux_tree, quot_tree]
+        # stage every instance's gathers, then ONE device->host transfer
+        staged = []
         for b in range(B):
             pow_witness = fri.grind(chs[b], fcfg.pow_bits)
             assert fri.check_pow(chs[b], pow_witness, fcfg.pow_bits)
@@ -247,20 +254,34 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
             reduced = [np.asarray(indices)]
             for nn in sizes:
                 reduced.append(reduced[-1] % (nn // 4))
-            per_layer = [batched_open_paths_bulk(tree, b, reduced[li + 1])
-                         for li, tree in enumerate(fri_trees)]
+            fetches = (
+                [batched_open_paths_gather(tree, b, reduced[li + 1])
+                 for li, tree in enumerate(fri_trees)]
+                + [merkle.open_paths_gather(pre["tree"], indices)]
+                + [batched_open_paths_gather(tree, b, indices)
+                   for tree in main_trees[1:]])
+            staged.append((pow_witness, indices, reduced, fetches))
+        all_hosts = jax.device_get([s[3] for s in staged])
+        for b in range(B):
+            pow_witness, indices, reduced, _ = staged[b]
+            hosts = all_hosts[b]
+            nf = len(fri_trees)
+            per_layer = [merkle.open_paths_finish(hosts[li],
+                                                  reduced[li + 1])
+                         for li in range(nf)]
             fri_rounds = []
             for qi in range(len(indices)):
                 layers = [fri.FriLayerOpening(
                     leaf=per_layer[li][qi][0].reshape(4, 2),
                     siblings=per_layer[li][qi][1])
-                    for li in range(len(fri_trees))]
+                    for li in range(nf)]
                 fri_rounds.append(fri.FriQueryRound(layers=layers))
 
             # oracle 0 (preprocessed) is shared across instances
-            pre_paths = merkle.open_paths_bulk(pre["tree"], indices)
-            inst_paths = [batched_open_paths_bulk(tree, b, indices)
-                          for tree in main_trees[1:]]
+            pre_paths = merkle.open_paths_finish(hosts[nf], indices)
+            inst_paths = [merkle.open_paths_finish(hosts[nf + 1 + t],
+                                                   indices)
+                          for t in range(3)]
             query_openings = []
             for qi in range(len(indices)):
                 leaves = [pre_paths[qi][0]] + \

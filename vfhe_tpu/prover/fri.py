@@ -129,11 +129,11 @@ def grind(ch: Challenger, pow_bits: int) -> int:
         ch._outputs.clear()
     base_state = np.asarray(ch._state)
     bound = np.uint64(1) << np.uint64(64 - pow_bits)
-    # expected hits ~ batch / 2^pow_bits per dispatch: size the batch so
-    # ONE device round-trip usually suffices (16-bit PoW -> 2^16 tries;
-    # a 2^17 batch of fast permutations is ~100 us of device time vs
-    # ~40 ms per tunnel round-trip)
-    batch = 1 << 17
+    # expected hits ~ batch / 2^pow_bits per dispatch: a 2^15 batch cuts
+    # the 16-bit PoW from ~16 tunnel round-trips (~40 ms each) to ~2,
+    # and (32768, 12) is a permute_fast shape the compile cache already
+    # holds from bench.py (remote compiles of NEW shapes cost minutes)
+    batch = 1 << 15
     start = 0
     while True:
         cand = np.arange(start, start + batch, dtype=np.uint64)
@@ -198,12 +198,17 @@ def commit_phase(codeword: jnp.ndarray, shift: int, ch: Challenger,
 def query_phase(trees, sizes, ch: Challenger, cfg: FriConfig, n0: int):
     """Sample query indices and open every layer along each query path
     (bulk gathers: one device fetch per level per layer)."""
+    import jax
     indices = ch.sample_indices(int(np.log2(n0)), cfg.num_queries)
     reduced = [np.asarray(indices)]
     for n in sizes:
         reduced.append(reduced[-1] % (n // 4))
-    per_layer = [merkle.open_paths_bulk(tree, reduced[li + 1])
-                 for li, tree in enumerate(trees)]
+    # ONE device->host transfer for every layer's paths
+    fetches = [merkle.open_paths_gather(tree, reduced[li + 1])
+               for li, tree in enumerate(trees)]
+    hosts = jax.device_get(fetches)
+    per_layer = [merkle.open_paths_finish(h, reduced[li + 1])
+                 for li, h in enumerate(hosts)]
     rounds = []
     for qi in range(len(indices)):
         layers = []

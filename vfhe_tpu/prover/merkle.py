@@ -68,11 +68,11 @@ def open_path(tree: MerkleTree, index: int):
     return np.asarray(tree.leaf_data[index]), sibs
 
 
-def open_paths_bulk(tree: MerkleTree, indices):
-    """Open many paths with ONE device gather per level (tiny per-element
-    device->host fetches dominate query time otherwise, especially over
-    the axon tunnel). Returns [(leaf_row, siblings)] per index."""
-    import jax
+def open_paths_gather(tree: MerkleTree, indices) -> list:
+    """Stage the device gathers for many path openings (leaf rows + one
+    sibling per level). Returns a list of device arrays; combine several
+    trees' gathers into ONE ``jax.device_get`` — per-tree transfers cost
+    a full tunnel round-trip (~40 ms) each."""
     import jax.numpy as jnp
     idxs = np.asarray(indices, dtype=np.int64)
     fetch = [tree.leaf_data[jnp.asarray(idxs)]]
@@ -80,12 +80,23 @@ def open_paths_bulk(tree: MerkleTree, indices):
     for level in tree.levels[:-1]:
         fetch.append(level[jnp.asarray(cur ^ 1)])
         cur >>= 1
-    host = jax.device_get(fetch)      # ONE device->host transfer
+    return fetch
+
+
+def open_paths_finish(host: list, indices) -> list:
+    """Pair ``jax.device_get``-ed gathers back into [(leaf_row,
+    siblings)] per index."""
+    idxs = np.asarray(indices, dtype=np.int64)
     rows, sib_levels = host[0], host[1:]
-    out = []
-    for qi in range(len(idxs)):
-        out.append((rows[qi], [lvl[qi] for lvl in sib_levels]))
-    return out
+    return [(rows[qi], [lvl[qi] for lvl in sib_levels])
+            for qi in range(len(idxs))]
+
+
+def open_paths_bulk(tree: MerkleTree, indices):
+    """Open many paths with ONE device->host transfer for the tree."""
+    import jax
+    host = jax.device_get(open_paths_gather(tree, indices))
+    return open_paths_finish(host, indices)
 
 
 def verify_path(leaf_row, index: int, siblings, cap) -> bool:

@@ -425,16 +425,19 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
         pi_hash = np.asarray(HP.hash_no_pad_jit(jnp.asarray(pis))) \
             if pis.size else np.zeros(4, np.uint64)
 
+    # NOTE on attribution: device dispatch is async — each phase's
+    # compute lands at its cap fetch (np.asarray = sync), so the
+    # challenger observes live INSIDE the scopes or the time would show
+    # up in no phase at all.
     with tt.scope("wires commit"):
         wires_cols = jnp.transpose(trace)                # (W, h)
         wire_coeffs = ifft(wires_cols)
         wire_lde = coset_lde(wire_coeffs, cfg.rate_bits)
         wires_tree = _column_tree(wire_lde, cfg.cap_height)
-
-    ch = Challenger()
-    ch.observe(vk.circuit_digest)
-    ch.observe(pi_hash)
-    ch.observe_cap(np.asarray(wires_tree.cap))
+        ch = Challenger()
+        ch.observe(vk.circuit_digest)
+        ch.observe(pi_hash)
+        ch.observe_cap(np.asarray(wires_tree.cap))
     betas = ch.sample_array(cfg.num_challenges)
     gammas = ch.sample_array(cfg.num_challenges)
 
@@ -445,7 +448,7 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
         aux_coeffs = ifft(aux_cols)
         aux_lde = coset_lde(aux_coeffs, cfg.rate_bits)
         aux_tree = _column_tree(aux_lde, cfg.cap_height)
-    ch.observe_cap(np.asarray(aux_tree.cap))
+        ch.observe_cap(np.asarray(aux_tree.cap))
     alphas = ch.sample_array(cfg.num_challenges)
 
     with tt.scope("quotient"):
@@ -456,7 +459,7 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
         quot_coeffs = ifft(quotient_cols)
         quot_lde = coset_lde(quot_coeffs, cfg.rate_bits)
         quot_tree = _column_tree(quot_lde, cfg.cap_height)
-    ch.observe_cap(np.asarray(quot_tree.cap))
+        ch.observe_cap(np.asarray(quot_tree.cap))
 
     zeta = jnp.asarray(ch.sample_ext())
     g_h = jnp.asarray(np.array(
@@ -502,7 +505,9 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
         indices, fri_rounds = fri.query_phase(trees, sizes, ch, fcfg, n_lde)
 
         main_trees = [pre["tree"], wires_tree, aux_tree, quot_tree]
-        per_tree = [merkle.open_paths_bulk(t, indices) for t in main_trees]
+        hosts = jax.device_get([merkle.open_paths_gather(t, indices)
+                                for t in main_trees])
+        per_tree = [merkle.open_paths_finish(h, indices) for h in hosts]
         query_openings = []
         for qi in range(len(indices)):
             leaves = [per_tree[t][qi][0] for t in range(4)]
