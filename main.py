@@ -34,6 +34,10 @@ def main(argv=None) -> int:
                     help="cyclic IVC: each step verifies the previous "
                          "proof in-circuit; ONE O(1) proof per PBS "
                          "(ivc_based_vpbs.rs:159-386)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="prove B independent ciphertexts in lock-step "
+                         "(batched prover; works with and without "
+                         "--recursive)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="persist/resume per-step proofs here")
     args = ap.parse_args(argv)
@@ -85,6 +89,44 @@ def main(argv=None) -> int:
     testv = get_testv(params.p, delta, params.N)
     m = int(jax.random.randint(k5, (), 0, params.p))
     ct = clwe.encrypt(k6, s_lwe, gl.h_mul(delta, m), sigma_lwe)
+
+    if args.batch > 1:
+        from vfhe_tpu.ivc import (verified_pbs_batch,
+                                  verified_pbs_recursive_batch)
+        B = args.batch
+        ms = [int(x) for x in
+              jax.random.randint(k5, (B,), 0, params.p)]
+        cts = np.stack([np.asarray(clwe.encrypt(k, s_lwe,
+                                                gl.h_mul(delta, mi),
+                                                sigma_lwe))
+                        for k, mi in zip(jax.random.split(k6, B), ms)])
+        t0 = time.time()
+        if args.recursive:
+            out_cts, proofs, sc = verified_pbs_recursive_batch(
+                cts, testv, bsk, ksk, params, config=config)
+            log.info("proved %d chains x %d steps (one O(1) proof each) "
+                     "in %.2fs", B, params.num_steps, time.time() - t0)
+            t0 = time.time()
+            for b in range(B):
+                verify_pbs_recursive(out_cts[b], cts[b], testv, bsk, ksk,
+                                     proofs[b], sc)
+        else:
+            out_cts, chains, sc = verified_pbs_batch(
+                cts, testv, bsk, ksk, params, config=config)
+            log.info("proved %d chains x %d steps in %.2fs", B,
+                     params.num_steps, time.time() - t0)
+            t0 = time.time()
+            for b in range(B):
+                verify_pbs(out_cts[b], cts[b], testv, bsk, ksk,
+                           chains[b], sc)
+        log.info("verified in %.2fs", time.time() - t0)
+        outs = []
+        for b in range(B):
+            m_bar = np.asarray(cglwe.decrypt(out_cts[b], s_to))
+            outs.append(round(int(m_bar[0]) / delta) % (2 * params.p))
+        log.info("in: %s out: %s", ms, outs)
+        print(f"PBS batch messages in={ms} out={outs}")
+        return 0
 
     t0 = time.time()
     if args.recursive:

@@ -82,3 +82,39 @@ def test_recursive_vpbs_tamper_rejected():
     bad.public_inputs[li] = (int(bad.public_inputs[li]) + 1) % gl.P
     with pytest.raises(Exception):
         verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, bad, sc)
+
+
+@pytest.mark.slow
+def test_recursive_batch_chains():
+    """Two ciphertexts' cyclic-IVC chains proved in lock-step (every
+    step-t pair is ONE prove_batch call); each yields its own O(1)
+    proof, independently verified and decrypt-checked; the batch
+    result is bit-identical to the sequential recursive prover."""
+    from vfhe_tpu.ivc import verified_pbs_recursive_batch
+    p = TEST_PARAMS
+    k1, k2, k3, k4, k5 = jax.random.split(KEY, 5)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    ms = [2, 3]
+    cts = np.stack([np.asarray(clwe.encrypt(k, s_lwe, gl.h_mul(delta, m),
+                                            0.0))
+                    for k, m in zip(jax.random.split(k5, 2), ms)])
+
+    out_cts, proofs, sc = verified_pbs_recursive_batch(
+        cts, testv, bsk, ksk, p, config=REC_TEST_CONFIG)
+    for b, m in enumerate(ms):
+        verify_pbs_recursive(out_cts[b], cts[b], testv, bsk, ksk,
+                             proofs[b], sc)
+        m_out = cglwe.decrypt(out_cts[b], s_to)
+        neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
+        check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)
+
+    out_s, proof_s, _ = verified_pbs_recursive(
+        jnp.asarray(cts[0]), testv, bsk, ksk, p, config=REC_TEST_CONFIG)
+    assert (np.asarray(out_s) == np.asarray(out_cts[0])).all()
+    assert (proof_s.public_inputs == proofs[0].public_inputs).all()

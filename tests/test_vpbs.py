@@ -169,3 +169,17 @@ def test_fast_path_matches_sequential():
     m_out = cglwe.decrypt(out_f, s_to)
     neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
     check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)
+
+
+@pytest.mark.slow
+def test_paper_step_circuit_row_budget():
+    """Perf-cliff guard: the paper-shape step circuit must stay within
+    2^15 trace rows (h doubles otherwise and EVERY prover phase with it
+    — CLAUDE.md pitfall 7). 31,203 rows as of round 2; the margin is
+    ~4.8%, so any per-coefficient gadget growth trips this first."""
+    from vfhe_tpu.circuit import STANDARD_CONFIG
+    from vfhe_tpu.ivc.vpbs import get_step_circuit
+    p = VpbsParams(n=2, N=1024, K=2, ELL=4, LOGB=5, p=2)
+    sc = get_step_circuit(p, STANDARD_CONFIG)
+    assert sc.data.rows_used <= 1 << 15, sc.data.rows_used
+    assert sc.data.h == 1 << 15

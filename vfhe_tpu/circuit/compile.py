@@ -497,6 +497,7 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
         out = jitted(jax.device_put(np.asarray(w), cpu))
         return jnp.asarray(np.asarray(out))
 
+    host_fn.inner = jitted      # raw traceable fn (prove_batch vmaps it)
     return host_fn
 
 

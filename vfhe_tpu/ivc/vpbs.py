@@ -610,6 +610,58 @@ def verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, proof,
              proof.num_bytes())
 
 
+def verified_pbs_recursive_batch(cts, testv, bsk, ksk, params: VpbsParams,
+                                 config: CircuitConfig = STANDARD_CONFIG,
+                                 min_degree_bits: int = 0):
+    """B independent cyclic-IVC chains in lock-step: every ciphertext's
+    step-t recursive proof comes from ONE ``prove_batch`` call (the IVC
+    chain is sequential per ciphertext, but across ciphertexts step
+    proofs are independent — SURVEY.md section 7). Returns
+    (out_cts (B,K,N), [final_proof]*B, sc): one O(1) proof per
+    ciphertext, each verified by :func:`verify_pbs_recursive`."""
+    from ..prover.batch import prove_batch
+    p = params
+    cts = np.asarray(cts, dtype=np.uint64)
+    B = cts.shape[0]
+    sc = get_recursive_step_circuit(p, config, min_degree_bits)
+    vk = preprocess(sc.data)["vk"]
+    acc_init_vals = np.concatenate(
+        [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
+    dummy = np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL))
+
+    prevs = [None] * B
+    for step in range(p.num_steps):
+        if step == 0:
+            ggsw_vals = dummy
+        elif step <= p.n:
+            ggsw_vals = np.asarray(bsk[step - 1])
+        else:
+            ggsw_vals = np.asarray(ksk)
+        pws = []
+        for b in range(B):
+            pw = PartialWitness()
+            sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
+            sc.t_ggsw.assign(pw, ggsw_vals)
+            mask_val = (int(cts[b, p.n]) if step == 0
+                        else int(cts[b, step - 1]) if step <= p.n else 0)
+            pw.set_target(sc.t_mask, mask_val)
+            pw.set_bool_target(sc.t_condition, step > 0)
+            if step == 0:
+                sc.t_proof.assign_dummy(pw)
+            else:
+                sc.t_proof.assign(pw, prevs[b])
+            pw.set_target_arr(sc.t_vk_cap, vk.preproc_cap)
+            pw.set_target_arr(sc.t_vk_digest, vk.circuit_digest)
+            pws.append(pw)
+        tt = TimingTree(f"prove rec step {step} (batch {B})")
+        prevs = prove_batch(sc.data, pws, timing=tt)
+        tt.done()
+
+    outs = np.stack([_pis(prev, sc.layout.latest_acc).reshape(p.K, p.N)
+                     for prev in prevs])
+    return jnp.asarray(outs), prevs, sc
+
+
 def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
                        config: CircuitConfig = STANDARD_CONFIG):
     """Prove B independent PBS chains in lock-step: all ciphertexts' step

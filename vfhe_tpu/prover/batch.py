@@ -110,8 +110,23 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
     vk = pre["vk"]
     cache = _batched_fns(id(data))
     if "witness" not in cache:
-        cache["witness"] = jax.jit(jax.vmap(data.witness_fn))
-        cache["witness_pre"] = jax.jit(jax.vmap(data.witness_fn_pre))
+        def batched_witness(fn):
+            if hasattr(fn, "inner"):
+                # host-mode witness (witness_host=True circuits, e.g. the
+                # recursive step circuit whose ~750k-target graph the
+                # remote TPU compile service rejects): vmap the raw fn
+                # on the in-process CPU backend, ship the result back
+                vb = jax.jit(jax.vmap(fn.inner))
+
+                def run(w0):
+                    cpu = jax.devices("cpu")[0]
+                    out = vb(jax.device_put(np.asarray(w0), cpu))
+                    return jnp.asarray(np.asarray(out))
+                return run
+            return jax.jit(jax.vmap(fn))
+
+        cache["witness"] = batched_witness(data.witness_fn)
+        cache["witness_pre"] = batched_witness(data.witness_fn_pre)
         cache["perm"] = jax.jit(jax.vmap(
             pre["perm_fn"], in_axes=(0, 0, 0, None)))
         cache["quotient"] = jax.jit(jax.vmap(
