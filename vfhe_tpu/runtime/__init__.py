@@ -40,6 +40,31 @@ def _build() -> str | None:
         return None
 
 
+def reload_constants() -> None:
+    """Re-inject the Poseidon tables (after set_round_constants)."""
+    if lib is not None:
+        _inject_tables(lib)
+
+
+def _inject_tables(L) -> None:
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    from ..hashing import constants as HC
+    rc = np.ascontiguousarray(HC.all_round_constants(), dtype=np.uint64)
+    mds = np.ascontiguousarray(HC.mds_matrix(), dtype=np.uint64)
+    L.set_poseidon_constants(rc.ctypes.data_as(u64p),
+                             mds.ctypes.data_as(u64p))
+    # optimized partial-round tables (bit-identical fast path, ~2.5x
+    # fewer scalar muls) — derived from the SAME constants, so they
+    # cannot drift from the device kernels
+    dense, row0, col, consts = (
+        np.ascontiguousarray(a, dtype=np.uint64)
+        for a in HC.fast_partial_data())
+    L.set_poseidon_fast_partial(dense.ctypes.data_as(u64p),
+                                row0.ctypes.data_as(u64p),
+                                col.ctypes.data_as(u64p),
+                                consts.ctypes.data_as(u64p))
+
+
 def _load():
     global lib
     so = _build()
@@ -56,11 +81,9 @@ def _load():
     L.merkle_path_digest.argtypes = [u64p, ctypes.c_uint64, u64p,
                                      ctypes.c_uint64, ctypes.c_uint64, u64p]
 
-    from ..hashing import constants as HC
-    rc = np.ascontiguousarray(HC.all_round_constants(), dtype=np.uint64)
-    mds = np.ascontiguousarray(HC.mds_matrix(), dtype=np.uint64)
-    L.set_poseidon_constants(rc.ctypes.data_as(u64p),
-                             mds.ctypes.data_as(u64p))
+    L.set_poseidon_fast_partial.argtypes = [u64p, u64p, u64p, u64p]
+
+    _inject_tables(L)
     lib = L
 
 

@@ -19,27 +19,48 @@ using u128 = unsigned __int128;
 static const u64 P = 0xFFFFFFFF00000001ULL;
 static const u64 EPS = 0xFFFFFFFFULL;
 
+// Branchless throughout: the reduction carries are data-dependent
+// ~50/50 branches, and the mispredictions dominated the mul itself.
 static inline u64 reduce128(u128 x) {
   u64 lo = (u64)x;
   u64 hi = (u64)(x >> 64);
   u64 hi_hi = hi >> 32;
   u64 hi_lo = hi & EPS;
-  u64 t0 = lo - hi_hi;
-  if (lo < hi_hi) t0 -= EPS;  // wrapping borrow fix
+  u64 t0 = lo - hi_hi - (EPS & (-(u64)(lo < hi_hi)));
   u64 t1 = hi_lo * EPS;
   u64 t2 = t0 + t1;
-  if (t2 < t1) t2 += EPS;
-  if (t2 >= P) t2 -= P;
+  t2 += EPS & (-(u64)(t2 < t1));
+  t2 -= P & (-(u64)(t2 >= P));
   return t2;
 }
 
 static inline u64 gl_add(u64 a, u64 b) {
   u64 s = a + b;
-  if (s < a || s >= P) s += EPS;
+  s += EPS & (-(u64)((s < a) | (s >= P)));
   return s;
 }
 
+static inline u64 gl_sub(u64 a, u64 b) {
+  u64 d = a - b;
+  d -= EPS & (-(u64)(a < b));
+  return d;
+}
+
 static inline u64 gl_mul(u64 a, u64 b) { return reduce128((u128)a * b); }
+
+// Full-width dot product: accumulate 128-bit products with an overflow
+// counter (2^128 = -2^32 mod p), ONE reduction at the end.
+static inline u64 dot_full(const u64* w, const u64* v, int n) {
+  u128 acc = (u128)w[0] * v[0];
+  u64 of = 0;
+  for (int j = 1; j < n; j++) {
+    u128 pr = (u128)w[j] * v[j];
+    acc += pr;
+    of += (u64)(acc < pr);
+  }
+  u64 r = reduce128(acc);
+  return gl_sub(r, of << 32);
+}
 
 // Poseidon instance (width 12, x^7, 4+22+4 rounds); tables set from python.
 static const int WIDTH = 12;
@@ -49,9 +70,30 @@ static const int N_PARTIAL = 22;
 static u64 RC[N_ROUNDS][WIDTH];
 static u64 MDS[WIDTH][WIDTH];
 
+// Optimized partial-round tables (Poseidon paper App. B — derived from
+// this instance's constants by hashing/constants.fast_partial_data and
+// injected below; bit-identical to the standard rounds, ~2.5x fewer
+// scalar muls per partial round: one sparse 23-mul layer vs a 144-mul
+// dense MDS).
+static u64 FP_DENSE[WIDTH][WIDTH];
+static u64 FP_ROW0[N_PARTIAL][WIDTH];
+static u64 FP_COL[N_PARTIAL][WIDTH - 1];
+static u64 FP_CONST[N_PARTIAL][WIDTH];
+static bool FP_SET = false;
+
 extern "C" void set_poseidon_constants(const u64* rc, const u64* mds) {
   std::memcpy(RC, rc, sizeof(RC));
   std::memcpy(MDS, mds, sizeof(MDS));
+  FP_SET = false;  // fast tables must be re-derived for a new instance
+}
+
+extern "C" void set_poseidon_fast_partial(const u64* dense, const u64* row0,
+                                          const u64* col, const u64* consts) {
+  std::memcpy(FP_DENSE, dense, sizeof(FP_DENSE));
+  std::memcpy(FP_ROW0, row0, sizeof(FP_ROW0));
+  std::memcpy(FP_COL, col, sizeof(FP_COL));
+  std::memcpy(FP_CONST, consts, sizeof(FP_CONST));
+  FP_SET = true;
 }
 
 static inline u64 sbox(u64 x) {
@@ -72,16 +114,36 @@ static void mds_layer(u64* s) {
   std::memcpy(s, out, sizeof(out));
 }
 
+static void dense_layer(u64* s) {
+  u64 out[WIDTH];
+  for (int i = 0; i < WIDTH; i++) out[i] = dot_full(FP_DENSE[i], s, WIDTH);
+  std::memcpy(s, out, sizeof(out));
+}
+
 extern "C" void poseidon_permute(u64* state) {
   int r = 0;
   for (int k = 0; k < HALF_FULL; k++, r++) {
     for (int i = 0; i < WIDTH; i++) state[i] = sbox(gl_add(state[i], RC[r][i]));
     mds_layer(state);
   }
-  for (int k = 0; k < N_PARTIAL; k++, r++) {
-    for (int i = 0; i < WIDTH; i++) state[i] = gl_add(state[i], RC[r][i]);
-    state[0] = sbox(state[0]);
-    mds_layer(state);
+  if (FP_SET) {
+    dense_layer(state);
+    for (int k = 0; k < N_PARTIAL; k++) {
+      for (int i = 0; i < WIDTH; i++)
+        state[i] = gl_add(state[i], FP_CONST[k][i]);
+      state[0] = sbox(state[0]);
+      u64 new0 = dot_full(FP_ROW0[k], state, WIDTH);
+      for (int j = 1; j < WIDTH; j++)
+        state[j] = gl_add(state[j], gl_mul(FP_COL[k][j - 1], state[0]));
+      state[0] = new0;
+    }
+    r += N_PARTIAL;
+  } else {
+    for (int k = 0; k < N_PARTIAL; k++, r++) {
+      for (int i = 0; i < WIDTH; i++) state[i] = gl_add(state[i], RC[r][i]);
+      state[0] = sbox(state[0]);
+      mds_layer(state);
+    }
   }
   for (int k = 0; k < HALF_FULL; k++, r++) {
     for (int i = 0; i < WIDTH; i++) state[i] = sbox(gl_add(state[i], RC[r][i]));
