@@ -83,6 +83,24 @@ def test_recursive_vpbs_tamper_rejected():
     with pytest.raises(Exception):
         verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, bad, sc)
 
+    # forged verifier data (the check_cyclic_proof_verifier_data
+    # equivalent, ivc:448-452): flipping a vk public input must be
+    # rejected even though the claimed outputs are untouched
+    bad_vk = copy.deepcopy(final_proof)
+    bad_vk.public_inputs = bad_vk.public_inputs.copy()
+    vi = sc.layout.vk[0]
+    bad_vk.public_inputs[vi] = (int(bad_vk.public_inputs[vi]) + 1) % gl.P
+    with pytest.raises(Exception):
+        verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, bad_vk, sc)
+
+    # forged step counter: claiming fewer steps than n+2 must be
+    # rejected (ivc:433-436)
+    bad_cnt = copy.deepcopy(final_proof)
+    bad_cnt.public_inputs = bad_cnt.public_inputs.copy()
+    bad_cnt.public_inputs[sc.layout.counter] = p.num_steps - 1
+    with pytest.raises(Exception):
+        verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, bad_cnt, sc)
+
 
 @pytest.mark.slow
 def test_recursive_batch_chains():
