@@ -110,3 +110,15 @@ def test_prove_batch_on_mesh(rng):
     for p, q in zip(proofs, plain):
         assert (np.asarray(p.public_inputs) == np.asarray(q.public_inputs)).all()
         assert proof_to_bytes(p) == proof_to_bytes(q)
+
+
+def test_host_mesh_layout():
+    """make_host_mesh keeps the col axis within consecutive (same-host)
+    devices and puts dp across the rest; on the 8-virtual-device CPU
+    'host' that means an (4, 2) mesh whose col pairs are adjacent."""
+    from vfhe_tpu.parallel import make_host_mesh
+    mesh = make_host_mesh(col_parallel=2)
+    assert mesh.axis_names == ("dp", "col")
+    assert mesh.devices.shape == (4, 2)
+    ids = np.array([[d.id for d in row] for row in mesh.devices])
+    assert (ids[:, 1] == ids[:, 0] + 1).all()
