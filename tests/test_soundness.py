@@ -185,18 +185,23 @@ def test_forged_sponge_intermediate_state():
     xs = b.add_virtual_targets(4)
     b.register_public_inputs(xs)
     b.hash_n_to_hash_no_pad(xs)           # one permutation (partial chunk)
-    # the poseidon witness op holds the (L, 30, 12) round-state targets
+    # the poseidon witness op holds the POS1 wire targets: the 8 kept
+    # round states (L, 8, 12) and the 22 partial-round sbox outs (L, 22)
     pos_ops = [op for op in b._ops if op.kind == "poseidon"]
     assert pos_ops
     states = pos_ops[0].data["states"]
+    sbox = pos_ops[0].data["sbox"]
     data = b.build()
     pw = PartialWitness()
     pw.set_target_arr(xs, np.arange(1, 5, dtype=np.uint64))
-    # corrupt one element of a middle (partial) round state
     honest = np.asarray(
         data.witness_fn(jnp.asarray(pw.initial_vector(data))))
-    t = int(states[0, 15, 3])
+    # corrupt a middle full-round state element
+    t = int(states[0, 2, 3])
     _forge_and_expect_reject(data, pw, {t: (int(honest[t]) + 1) % gl.P})
+    # corrupt a partial-round sbox output
+    t2 = int(sbox[0, 10])
+    _forge_and_expect_reject(data, pw, {t2: (int(honest[t2]) + 1) % gl.P})
 
 
 def test_forged_precomputed_sponge_carry():

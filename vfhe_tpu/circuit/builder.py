@@ -27,8 +27,15 @@ zero-filled and unrouted):
             canonical-encoding enforcement in the same row:
             lo/hi = 32-bit half sums, (hi - eps)*u == t1,
             lo*(t1 - 1) == 0  (so hi == eps forces lo == 0).
-  POS_A/B/C a Poseidon permutation split over three rows of 10 rounds;
-            wires [state_in(12) | state_out(12) | 9 inner states(108)].
+  POS1      a WHOLE Poseidon permutation in one 130-wire row (the same
+            packing idea as plonky2's PoseidonGate, which is what the
+            reference proves with): wires [state_in(12) | state_out(12) |
+            full-round states r0..r3 (48) | 22 partial-round sbox
+            outputs | full-round states r26..r28 (36)]. The partial
+            rounds are affine in (state_r3, sbox outs) — see
+            hashing/constants.pos1_affine_data — so 22 degree-7
+            constraints + 8x12 full-round constraints cover all 30
+            rounds; 118 constraints, max degree 7.
   CONST     4 wires pinned to constant columns (plonky2 ConstantGate).
   PI        4 wires pinned to the public-input hash (PublicInputGate).
   NOOP      padding.
@@ -50,12 +57,14 @@ from ..hashing import poseidon as HP
 from .config import CircuitConfig, STANDARD_CONFIG
 
 # gate kind tags
-(NOOP, ARITH, BASESUM, POS_A, POS_B, POS_C, CONST, PI, SELECT,
- BASESUM_CANON) = range(10)
+(NOOP, ARITH, BASESUM, POS1, CONST, PI, SELECT, BASESUM_CANON) = range(8)
 SELECT_LANES = 20
 
 ARITH_LANES = 20
-POS_CHUNK = 10  # rounds per poseidon row
+# Rounds whose (post-MDS) output states are wired in a POS1 row; the
+# remaining 22 partial-round states are affine in these + the sbox wires.
+POS1_KEEP = (0, 1, 2, 3, 26, 27, 28, 29)
+POS1_OUT_IDX = 7          # index of round 29 within POS1_KEEP
 
 
 def _np_idx(x) -> np.ndarray:
@@ -282,14 +291,22 @@ class CircuitBuilder:
         return out
 
     def poseidon_vec(self, states) -> np.ndarray:
-        """(L, 12) state targets -> (L, 12) permuted-state targets."""
+        """(L, 12) state targets -> (L, 12) permuted-state targets.
+
+        Witness targets per permutation: the 8 POS1_KEEP round states
+        (L, 8, 12) plus the 22 partial-round sbox outputs (L, 22) — the
+        exact wire set of the one-row POS1 gate (nothing else is
+        materialized in the witness vector)."""
         states = np.asarray(states, dtype=np.int64)
         L = states.shape[0]
-        inter = self.add_virtual_targets(L * 30 * 12).reshape(L, 30, 12)
+        inter = self.add_virtual_targets(L * 8 * 12).reshape(L, 8, 12)
+        sbox = self.add_virtual_targets(L * 22).reshape(L, 22)
         self._defined.update(inter.ravel().tolist())
-        self._ops.append(_WitnessOp("poseidon", dict(inp=states, states=inter)))
-        self._poseidon.append((states, inter))
-        return inter[:, 29, :]
+        self._defined.update(sbox.ravel().tolist())
+        self._ops.append(_WitnessOp("poseidon", dict(
+            inp=states, states=inter, sbox=sbox)))
+        self._poseidon.append((states, inter, sbox))
+        return inter[:, POS1_OUT_IDX, :]
 
     def sponge_vec(self, inputs, init_state=None) -> np.ndarray:
         """Batched overwrite-mode sponge: (L, n) input targets -> (L, 12)
@@ -315,25 +332,29 @@ class CircuitBuilder:
         full = n // 8
         if full:
             chunks = inputs[:, :full * 8].reshape(L, full, 8)
-            states = self.add_virtual_targets(L * full * 30 * 12) \
-                .reshape(L, full, 30, 12)
+            states = self.add_virtual_targets(L * full * 8 * 12) \
+                .reshape(L, full, 8, 12)
+            sbox = self.add_virtual_targets(L * full * 22) \
+                .reshape(L, full, 22)
             self._defined.update(states.ravel().tolist())
+            self._defined.update(sbox.ravel().tolist())
             in_mat = np.empty((L, full, 12), dtype=np.int64)
             in_mat[:, :, :8] = chunks
             in_mat[:, 0, 8:] = state[:, 8:]
             if full > 1:
-                in_mat[:, 1:, 8:] = states[:, :-1, 29, 8:12]
+                in_mat[:, 1:, 8:] = states[:, :-1, POS1_OUT_IDX, 8:12]
             self._ops.append(_WitnessOp("sponge_b", dict(
-                chunks=chunks, init=state, states=states)))
+                chunks=chunks, init=state, states=states, sbox=sbox)))
             # descriptor for host-side carry precompute (see
             # PartialWitness.precompute_sponges): the sequential
-            # dependency chain of this absorb is states[:, :, 29, 8:12]
+            # dependency chain of this absorb is the final-round capacity
             self._sponges.append(dict(
                 chunks=chunks, init=state,
-                carries=states[:, :, 29, 8:12]))
+                carries=states[:, :, POS1_OUT_IDX, 8:12]))
             self._poseidon.append((in_mat.reshape(L * full, 12),
-                                   states.reshape(L * full, 30, 12)))
-            state = states[:, -1, 29, :].copy()
+                                   states.reshape(L * full, 8, 12),
+                                   sbox.reshape(L * full, 22)))
+            state = states[:, -1, POS1_OUT_IDX, :].copy()
         rem = n - full * 8
         if rem:
             s_in = state.copy()
@@ -360,14 +381,17 @@ class CircuitBuilder:
             .reshape(levels, L, 4)
         rights = self.add_virtual_targets(levels * L * 4) \
             .reshape(levels, L, 4)
-        states = self.add_virtual_targets(levels * L * 30 * 12) \
-            .reshape(levels, L, 30, 12)
+        states = self.add_virtual_targets(levels * L * 8 * 12) \
+            .reshape(levels, L, 8, 12)
+        sbox = self.add_virtual_targets(levels * L * 22) \
+            .reshape(levels, L, 22)
         self._defined.update(lefts.ravel().tolist())
         self._defined.update(rights.ravel().tolist())
         self._defined.update(states.ravel().tolist())
+        self._defined.update(sbox.ravel().tolist())
         self._ops.append(_WitnessOp("mwalk", dict(
             dig0=digests, bits=bits, sibs=sibs, lefts=lefts, rights=rights,
-            states=states)))
+            states=states, sbox=sbox)))
         cur = digests
         for lvl in range(levels):
             ctrl = np.broadcast_to(bits[lvl][:, None], (L, 4))
@@ -379,8 +403,8 @@ class CircuitBuilder:
             in_mat = np.concatenate(
                 [lefts[lvl], rights[lvl], np.full((L, 4), z, np.int64)],
                 axis=1)
-            self._poseidon.append((in_mat, states[lvl]))
-            cur = states[lvl, :, 29, :4].copy()
+            self._poseidon.append((in_mat, states[lvl], sbox[lvl]))
+            cur = states[lvl, :, POS1_OUT_IDX, :4].copy()
         return cur
 
     def ext_powers_scan(self, x, count: int) -> np.ndarray:
@@ -586,7 +610,7 @@ class CircuitBuilder:
             rows += -(-sum(e[0].size for e in entries) // lanes_pr)
         sel_lanes = sum(s[0].size for s in self._select)
         rows += -(-sel_lanes // SELECT_LANES)
-        rows += 3 * sum(p[0].shape[0] for p in self._poseidon)
+        rows += sum(p[0].shape[0] for p in self._poseidon)
         rows += -(-len(self._const_map) // 4)
         rows += 1  # PI gate
         return rows

@@ -20,9 +20,9 @@ import jax.numpy as jnp
 from ..field import goldilocks as gl
 from ..hashing import constants as HC
 from ..hashing import poseidon as HP
-from .builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS_A, POS_B,
-                      POS_C, CONST, PI, SELECT, ARITH_LANES, SELECT_LANES,
-                      CircuitBuilder, GateInstance)
+from .builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS1, CONST,
+                      PI, SELECT, ARITH_LANES, SELECT_LANES, POS1_KEEP,
+                      POS1_OUT_IDX, CircuitBuilder, GateInstance)
 from .config import CircuitConfig
 
 
@@ -160,18 +160,21 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
             consts_rows.append([0, 0, 0, 0])
             kinds.append((BASESUM_CANON, nbits))
 
-    # ---- poseidon rows --------------------------------------------------
-    for inp, st in b._poseidon:
+    # ---- poseidon rows (one row per permutation, POS1 layout) -----------
+    # wires: in(12) | out(12) | r0..r3 states(48) | 22 sbox | r26..r28(36)
+    for inp, st, sbx in b._poseidon:
         L = inp.shape[0]
+        rows130 = np.concatenate(
+            [inp,                       # 0:12
+             st[:, POS1_OUT_IDX],       # 12:24 (round 29)
+             st[:, 0:4].reshape(L, 48),  # 24:72 (rounds 0..3)
+             sbx,                       # 72:94
+             st[:, 4:7].reshape(L, 36)  # 94:130 (rounds 26..28)
+             ], axis=1)
         for l in range(L):
-            s = st[l]
-            rowA = np.concatenate([inp[l], s[9], s[0:9].ravel()])
-            rowB = np.concatenate([s[9], s[19], s[10:19].ravel()])
-            rowC = np.concatenate([s[19], s[29], s[20:29].ravel()])
-            for kind, row in ((POS_A, rowA), (POS_B, rowB), (POS_C, rowC)):
-                wires_rows.append(row)
-                consts_rows.append([0, 0, 0, 0])
-                kinds.append((kind, 0))
+            wires_rows.append(rows130[l])
+            consts_rows.append([0, 0, 0, 0])
+            kinds.append((POS1, 0))
 
     # ---- constant rows --------------------------------------------------
     const_items = sorted(b._const_map.items(), key=lambda kv: kv[1])
@@ -304,9 +307,19 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
 # witness generation
 # ---------------------------------------------------------------------------
 
-def _poseidon_all_states(state: jnp.ndarray) -> jnp.ndarray:
-    """(L, 12) -> (L, 30, 12): state after each of the 30 rounds."""
-    return jnp.moveaxis(HP.permute_all_states(state), 0, 1)
+def _pos1_pack(all30: jnp.ndarray):
+    """(30, L, 12) per-round states -> the POS1 witness values:
+    (states (L, 8, 12) POS1_KEEP round outputs, sbox (L, 22) partial-round
+    sbox outputs). Only these enter the witness vector / wire rows."""
+    sub = jnp.moveaxis(all30[np.array(POS1_KEEP)], 0, 1)      # (L, 8, 12)
+    rc0 = HC.all_round_constants()[HC.HALF_FULL_ROUNDS:
+                                   HC.HALF_FULL_ROUNDS + 22, 0]
+    x = gl.add(jnp.moveaxis(all30[3:25, :, 0], 0, 1),
+               jnp.asarray(rc0))                              # (L, 22)
+    x2 = gl.mul(x, x)
+    x4 = gl.mul(x2, x2)
+    sbox = gl.mul(gl.mul(x4, x2), x)
+    return sub, sbox
 
 
 def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
@@ -314,7 +327,8 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
     """Compile the witness-generation jit. ``pre=True`` compiles the
     PRECOMPUTED-SPONGE variant: every ``sponge_b`` op expects its carry
     chain (the capacity lanes after each full-chunk permutation,
-    ``states[:, :, 29, 8:12]``) already present in the witness vector
+    ``states[:, :, POS1_OUT_IDX, 8:12]``) already present in the witness
+    vector
     (PartialWitness.precompute_sponges), so all permutations of a long
     absorb run in ONE batched call instead of a sequential lax.scan —
     the bsk-hash witness chain (~2k permutations at paper params,
@@ -369,8 +383,10 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
                     acc = gl.add(acc, gl.mul(bits_v[:, i], jnp.uint64(pows[i])))
                 w = w.at[d["out"]].set(acc)
             elif op.kind == "poseidon":
-                states = _poseidon_all_states(w[d["inp"]])
-                w = w.at[d["states"]].set(states)
+                all30 = HP.permute_all_states(w[d["inp"]])
+                sub, sbox = _pos1_pack(all30)
+                w = w.at[d["states"]].set(sub)
+                w = w.at[d["sbox"]].set(sbox)
             elif op.kind == "sponge_b":
                 chunks_v = w[d["chunks"]]          # (L, C, 8)
                 init_v = w[d["init"]]              # (L, 12)
@@ -380,24 +396,27 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
                     L, Cn = d["chunks"].shape[:2]
                     prev_carry = jnp.concatenate(
                         [init_v[:, None, 8:12],
-                         w[d["states"][:, :-1, 29, 8:12]]], axis=1)
+                         w[d["states"][:, :-1, POS1_OUT_IDX, 8:12]]],
+                        axis=1)
                     s_in = jnp.concatenate([chunks_v, prev_carry], axis=-1)
                     all30 = HP.permute_all_states(
                         s_in.reshape(L * Cn, 12))  # (30, L*C, 12)
-                    states = jnp.moveaxis(all30, 0, 1) \
-                        .reshape(L, Cn, 30, 12)
-                    w = w.at[d["states"]].set(states)
+                    sub, sbox = _pos1_pack(all30)
+                    w = w.at[d["states"]].set(sub.reshape(L, Cn, 8, 12))
+                    w = w.at[d["sbox"]].set(sbox.reshape(L, Cn, 22))
                 else:
                     def sponge_body(carry_tail, chunk):
                         s_in = jnp.concatenate([chunk, carry_tail], axis=-1)
                         all30 = HP.permute_all_states(s_in)   # (30, L, 12)
-                        return all30[-1, :, 8:12], all30
+                        sub, sbox = _pos1_pack(all30)
+                        return sub[:, POS1_OUT_IDX, 8:12], (sub, sbox)
 
-                    _, states = jax.lax.scan(
+                    _, (subs, sboxes) = jax.lax.scan(
                         sponge_body, init_v[:, 8:12],
                         jnp.moveaxis(chunks_v, 1, 0))
-                    # states: (C, 30, L, 12) -> (L, C, 30, 12)
-                    w = w.at[d["states"]].set(jnp.moveaxis(states, 2, 0))
+                    # subs: (C, L, 8, 12) -> (L, C, 8, 12)
+                    w = w.at[d["states"]].set(jnp.moveaxis(subs, 1, 0))
+                    w = w.at[d["sbox"]].set(jnp.moveaxis(sboxes, 1, 0))
             elif op.kind == "mwalk":
                 dig_v = w[d["dig0"]]               # (L, 4)
                 bits_v = w[d["bits"]]              # (levels, L)
@@ -412,13 +431,15 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
                     s_in = jnp.concatenate(
                         [left, right, jnp.zeros((L, 4), jnp.uint64)], axis=-1)
                     all30 = HP.permute_all_states(s_in)   # (30, L, 12)
-                    return all30[-1, :, :4], (left, right, all30)
+                    sub, sbox = _pos1_pack(all30)
+                    return sub[:, POS1_OUT_IDX, :4], (left, right, sub, sbox)
 
-                _, (lv, rv, sv) = jax.lax.scan(walk_body, dig_v,
-                                               (bits_v, sibs_v))
+                _, (lv, rv, sv, sbv) = jax.lax.scan(walk_body, dig_v,
+                                                    (bits_v, sibs_v))
                 w = w.at[d["lefts"]].set(lv)
                 w = w.at[d["rights"]].set(rv)
-                w = w.at[d["states"]].set(jnp.moveaxis(sv, 2, 1))
+                w = w.at[d["states"]].set(sv)
+                w = w.at[d["sbox"]].set(sbv)
             elif op.kind == "ext_pows":
                 xv = w[d["x"]]                     # (2,)
 
@@ -502,32 +523,42 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
 
 
 class PartialWitness:
-    """Target -> value assignment (plonky2 ``PartialWitness`` equivalent)."""
+    """Target -> value assignment (plonky2 ``PartialWitness`` equivalent).
+
+    Assignments are stored as (index-array, value-array) chunk pairs —
+    never per-element python lists — so assigning a bootstrapping key
+    (16k values) or a whole inner proof (recursive mode, ~300k values)
+    costs one dtype view, and ``initial_vector`` is a handful of numpy
+    scatters. This is host-side per-step work (CLAUDE.md 'per-step
+    host-side gap')."""
 
     def __init__(self):
-        self._idx: list = []
-        self._val: list = []
+        self._chunks: list = []       # (idx int64 array, val uint64 array)
         self.sponges_precomputed = False
 
     def set_target(self, t: int, value: int) -> None:
-        self._idx.append(int(t))
-        self._val.append(int(value) % gl.P)
+        self._chunks.append((np.array([int(t)], dtype=np.int64),
+                             np.array([int(value) % gl.P],
+                                      dtype=np.uint64)))
 
     def set_target_arr(self, ts, values) -> None:
-        ts = np.asarray(ts, dtype=np.int64).ravel()
-        vals = np.asarray(values, dtype=np.uint64).ravel()
+        ts = np.ascontiguousarray(ts, dtype=np.int64).ravel()
+        vals = np.ascontiguousarray(values, dtype=np.uint64).ravel()
         assert ts.size == vals.size
-        self._idx.extend(ts.tolist())
-        self._val.extend(int(v) for v in vals)
+        self._chunks.append((ts, vals))
 
     def set_bool_target(self, t: int, value: bool) -> None:
         self.set_target(t, 1 if value else 0)
 
+    def assigned_indices(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate([c[0] for c in self._chunks])
+
     def initial_vector(self, data: CircuitData) -> np.ndarray:
         w = np.zeros(data.num_targets + 1, dtype=np.uint64)
-        if self._idx:
-            w[np.array(self._idx, dtype=np.int64)] = np.array(
-                self._val, dtype=np.uint64)
+        for idx, val in self._chunks:
+            w[idx] = val
         return w
 
     def precompute_sponges(self, data: CircuitData) -> None:
@@ -542,8 +573,7 @@ class PartialWitness:
         from .. import runtime
         w = self.initial_vector(data)
         known = np.zeros(data.num_targets + 1, dtype=bool)
-        if self._idx:
-            known[np.array(self._idx, dtype=np.int64)] = True
+        known[self.assigned_indices()] = True
         if data.const_idx is not None and data.const_idx.size:
             w[data.const_idx] = data.const_vals
             known[data.const_idx] = True

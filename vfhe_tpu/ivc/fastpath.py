@@ -172,14 +172,24 @@ def verified_pbs_fast(ct, testv, bsk, ksk, params: VpbsParams,
         return pw
 
     proofs = [None] * p.num_steps
+    batches = [list(range(s, min(s + batch_size, p.num_steps)))
+               for s in range(0, p.num_steps, batch_size)]
     with tt.scope("batched proving"):
-        for start in range(0, p.num_steps, batch_size):
-            idxs = list(range(start, min(start + batch_size, p.num_steps)))
-            with tt.scope(f"steps {idxs[0]}..{idxs[-1]}"):
-                batch = prove_batch(sc.data, [make_pw(i) for i in idxs],
-                                    timing=tt)
-            for i, pr in zip(idxs, batch):
-                proofs[i] = pr
+        # host witness prep of batch k+1 overlaps the device phases of
+        # batch k (numpy + the C++ sponge runtime release the GIL, and
+        # prove_batch blocks in device fetches)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(lambda ix=batches[0]: [make_pw(i) for i in ix])
+            for bi, idxs in enumerate(batches):
+                pws = fut.result()
+                if bi + 1 < len(batches):
+                    fut = ex.submit(
+                        lambda ix=batches[bi + 1]: [make_pw(i) for i in ix])
+                with tt.scope(f"steps {idxs[0]}..{idxs[-1]}"):
+                    batch = prove_batch(sc.data, pws, timing=tt)
+                for i, pr in zip(idxs, batch):
+                    proofs[i] = pr
     tt.done()
 
     # consistency: circuit-produced chain values match the native ones

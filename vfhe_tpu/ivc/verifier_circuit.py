@@ -24,9 +24,9 @@ import numpy as np
 
 from ..field import goldilocks as gl
 from ..field import extension as fe
-from ..circuit.builder import (ARITH, BASESUM, BASESUM_CANON, POS_A, POS_B,
-                               POS_C, CONST, PI, SELECT, ARITH_LANES,
-                               SELECT_LANES, POS_CHUNK)
+from ..circuit.builder import (ARITH, BASESUM, BASESUM_CANON, POS1,
+                               CONST, PI, SELECT, ARITH_LANES,
+                               SELECT_LANES)
 from ..hashing import constants as HC
 from ..gadgets import extension as ge
 from ..prover.fft import COSET_SHIFT
@@ -111,60 +111,70 @@ def _pow_table(base: int, nb: int) -> list:
 # gate-constraint evaluation at zeta (extension targets)
 # ---------------------------------------------------------------------------
 
-def _eval_pos_kinds(b, wires):
-    """Evaluate POS_A/POS_B/POS_C constraints jointly: all three kinds
-    read the same opened wire columns, so stack them into 36-lane ext ops
-    with per-kind round constants. Returns {kind: (120, 2) targets},
-    ordered (step, state-index) per kind to match constraints.eval_gate."""
+def _eval_pos1(b, wires):
+    """Evaluate the POS1 gate's 118 constraints at zeta over extension
+    targets, order-matched to constraints.eval_gate: full rounds 0..3,
+    partial sboxes j=0..21 (affine folding, pos1_affine_data), full
+    rounds 26..29."""
     rc = HC.all_round_constants()
     mds = HC.mds_matrix()
-    kinds = [POS_A, POS_B, POS_C]
-    offsets = {POS_A: 0, POS_B: POS_CHUNK, POS_C: 2 * POS_CHUNK}
-    state = np.stack([wires[0:12]] * 3)          # (3, 12, 2)
-    boundary = wires[12:24]                      # (12, 2)
-    inter = wires[24:132].reshape(9, 12, 2)
-    terms = {k: [] for k in kinds}
-    for step in range(POS_CHUNK):
-        # dtype matters: python ints >= 2^63 silently become float64
-        rcs = np.array([[int(rc[offsets[k] + step][i]) for i in range(12)]
-                        for k in kinds], dtype=np.uint64)   # (3, 12)
-        # s = state + rc (adds to c0 only)
-        rc_t = b.constants(rcs).reshape(3, 12)
-        s0 = b.add_vec(state[..., 0], rc_t).reshape(3, 12)
-        s = np.stack([s0, state[..., 1]], axis=-1)
-        # x^7 on all lanes, then statically pick sboxed vs raw per lane
+    a0, b0c, c0, A26, B26, c26 = HC.pos1_affine_data()
+    s4 = wires[60:72]                            # (12, 2)
+    sb = wires[72:94]                            # (22, 2)
+    terms = []
+
+    def sbox_all(s):
         x2 = ge.ext_mul(b, s, s)
         x4 = ge.ext_mul(b, x2, x2)
         x6 = ge.ext_mul(b, x4, x2)
-        x7 = ge.ext_mul(b, x6, s)
-        full_mask = np.array(
-            [(offsets[k] + step < HC.HALF_FULL_ROUNDS or
-              offsets[k] + step >= HC.HALF_FULL_ROUNDS + HC.N_PARTIAL_ROUNDS)
-             for k in kinds])                    # (3,)
-        sb = s.copy()
-        for ki in range(3):
-            if full_mask[ki]:
-                sb[ki] = x7[ki]
-            else:
-                sb[ki, 0] = x7[ki, 0]
-        # MDS: out[k, i] = sum_j mds[i, j] * sb[k, j]
+        return ge.ext_mul(b, x6, s)
+
+    def full_round(state, r, nxt):
+        # dtype matters: python ints >= 2^63 silently become float64
+        rc_t = b.constants(np.asarray(rc[r], dtype=np.uint64)).reshape(12)
+        s0 = b.add_vec(state[..., 0], rc_t).reshape(12)
+        s = np.stack([s0, state[..., 1]], axis=-1)
+        x7 = sbox_all(s)
+        # MDS: out[i] = sum_j mds[i, j] * x7[j]
         prod = ge.ext_mul_base(
-            b, np.broadcast_to(sb[:, None, :, :], (3, 12, 12, 2)),
-            b.constants(np.tile(mds[None], (3, 1, 1))).reshape(3, 12, 12))
-        out = ext_tree_sum(b, np.moveaxis(prod, 2, 0))   # (3, 12, 2)
-        nxt = inter[step] if step < POS_CHUNK - 1 else boundary
-        diff = ge.ext_sub(b, out, np.broadcast_to(nxt, (3, 12, 2)))
-        for ki, k in enumerate(kinds):
-            terms[k].append(diff[ki])
-        state = np.stack([nxt] * 3)
-    return {k: np.concatenate(v, axis=0) for k, v in terms.items()}
+            b, np.broadcast_to(x7[None, :, :], (12, 12, 2)),
+            b.constants(mds).reshape(12, 12))
+        out = ext_tree_sum(b, np.moveaxis(prod, 1, 0))   # (12, 2)
+        return ge.ext_sub(b, out, nxt)
+
+    def aff(mat, cvec):
+        # rows of [s4; sb] weighted by the constant matrix, plus cvec
+        R = mat.shape[0]
+        cols = np.concatenate([s4, sb], axis=0)          # (34, 2)
+        prod = ge.ext_mul_base(
+            b, np.broadcast_to(cols[None, :, :], (R, 34, 2)),
+            b.constants(mat).reshape(R, 34))
+        tot = ext_tree_sum(b, np.moveaxis(prod, 1, 0))   # (R, 2)
+        c_t = b.constants(np.asarray(cvec, dtype=np.uint64)).reshape(R)
+        t0 = b.add_vec(tot[:, 0], c_t).reshape(R)
+        return np.stack([t0, tot[:, 1]], axis=-1)
+
+    state = wires[0:12]
+    for k in range(HC.HALF_FULL_ROUNDS):
+        nxt = wires[24 + 12 * k:36 + 12 * k]
+        terms.append(full_round(state, k, nxt))
+        state = nxt
+
+    y0 = aff(np.concatenate([a0, b0c], axis=1), c0)      # (22, 2)
+    terms.append(ge.ext_sub(b, sbox_all(y0), sb))
+
+    state = aff(np.concatenate([A26, B26], axis=1), c26)  # (12, 2)
+    targets = [wires[94:106], wires[106:118], wires[118:130], wires[12:24]]
+    for k in range(4):
+        terms.append(full_round(state, 26 + k, targets[k]))
+        state = targets[k]
+    return np.concatenate(terms, axis=0)                  # (118, 2)
 
 
 def eval_gates_circuit(b, gates, wires, consts, pi_ext):
     """All gates' constraint values at zeta as extension targets.
     Returns (terms (T, 2) target array, gate_index (T,) ints) in the
     exact order of constraints.eval_gate over the ``gates`` list."""
-    pos_cache = None
     all_terms = []
     gate_of = []
     for gi, gate in enumerate(gates):
@@ -237,10 +247,8 @@ def eval_gates_circuit(b, gates, wires, consts, pi_ext):
             terms = np.concatenate(
                 [bools, recomb, lo_c, hi_c, t1row, canon],
                 axis=1).reshape(-1, 2)
-        elif kind in (POS_A, POS_B, POS_C):
-            if pos_cache is None:
-                pos_cache = _eval_pos_kinds(b, wires)
-            terms = pos_cache[kind]
+        elif kind == POS1:
+            terms = _eval_pos1(b, wires)
         elif kind == CONST:
             terms = ge.ext_sub(b, wires[0:4], consts[0:4])
         elif kind == PI:

@@ -205,10 +205,9 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
     analogue is common_data_for_recursion's fixed gate list,
     ivc_based_vpbs.rs:30-62). Row order in circuit/compile.py determines
     selector indices: ARITH, SELECT, BASESUM (asc widths), BASESUM_CANON
-    (asc widths), POS_A/B/C, CONST, PI."""
+    (asc widths), POS1, CONST, PI."""
     from ..circuit.builder import (ARITH, BASESUM, BASESUM_CANON, SELECT,
-                                   POS_A, POS_B, POS_C, CONST, PI,
-                                   GateInstance)
+                                   POS1, CONST, PI, GateInstance)
     # Discover the step circuit's BASESUM widths by dry-building it
     # (cheap relative to a proof); union with the recursive verifier's
     # own widths: 64-bit canonical splits (PoW + query indices).
@@ -233,8 +232,7 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
         g(BASESUM, w)
     for w in canon_widths:
         g(BASESUM_CANON, w)
-    for k in (POS_A, POS_B, POS_C):
-        g(k)
+    g(POS1)
     g(CONST)
     g(PI)
     return gates
@@ -690,47 +688,54 @@ def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
     natives = [compute_chain(cts[bi], testv, bsk, ksk, p,
                              bsk_digs=bsk_digs_shared) for bi in range(B)]
 
-    chains = [[] for _ in range(B)]
-    prev = [None] * B
-    for step in range(p.num_steps):
+    def make_step_pws(step: int) -> list:
+        # every witness value comes from the native chain (bit-identical
+        # to the previous proof's PIs — asserted downstream), so step
+        # t+1's prep can overlap step t's device phases
         pws = []
         for bi in range(B):
             pw = PartialWitness()
+            n_accs, n_bskd, n_lwed = natives[bi]
             sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
             pw.set_target(sc.t_counter, step + 1)
             if step == 0:
                 ggsw_vals, mask_val = dummy, int(cts[bi, p.n])
-                acc_in_vals = acc_init_vals
                 hash_ins = (np.zeros(4, np.uint64), np.zeros(4, np.uint64))
             elif step <= p.n:
                 ggsw_vals = bsk_np[step - 1]
                 mask_val = int(cts[bi, step - 1])
-                acc_in_vals = _pis(prev[bi], lay.latest_acc)
-                hash_ins = (_pis(prev[bi], lay.bsk_hash_out),
-                            _pis(prev[bi], lay.lwe_hash_out))
+                hash_ins = (np.asarray(n_bskd[step - 1], dtype=np.uint64),
+                            np.asarray(n_lwed[step - 1], dtype=np.uint64))
             else:
                 ggsw_vals, mask_val = ksk_np, 0
-                acc_in_vals = _pis(prev[bi], lay.latest_acc)
-                hash_ins = (_pis(prev[bi], lay.bsk_hash_out),
-                            _pis(prev[bi], lay.lwe_hash_out))
+                hash_ins = (np.asarray(n_bskd[step - 1], dtype=np.uint64),
+                            np.asarray(n_lwed[step - 1], dtype=np.uint64))
             sc.t_ggsw.assign(pw, ggsw_vals)
             pw.set_target(sc.t_mask, mask_val)
-            sc.t_acc_in.assign(pw, np.asarray(
-                acc_in_vals, dtype=np.uint64).reshape(p.K, p.N))
+            sc.t_acc_in.assign(pw, np.asarray(n_accs[step]))
             pw.set_target_arr(sc.t_bsk_hash_in, hash_ins[0])
             pw.set_target_arr(sc.t_lwe_hash_in, hash_ins[1])
-            n_accs, n_bskd, n_lwed = natives[bi]
             pw.set_target_arr(sc.data.pi_targets, step_pi_values(
                 step, p, lay, acc_init_vals, n_accs, n_bskd, n_lwed))
             pw.precompute_sponges(sc.data)
             pws.append(pw)
+        return pws
 
-        tt = TimingTree(f"prove step {step} (batch {B})")
-        proofs = prove_batch(sc.data, pws, timing=tt)
-        tt.done()
-        for bi in range(B):
-            chains[bi].append(proofs[bi])
-            prev[bi] = proofs[bi]
+    chains = [[] for _ in range(B)]
+    prev = [None] * B
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(make_step_pws, 0)
+        for step in range(p.num_steps):
+            pws = fut.result()
+            if step + 1 < p.num_steps:
+                fut = ex.submit(make_step_pws, step + 1)
+            tt = TimingTree(f"prove step {step} (batch {B})")
+            proofs = prove_batch(sc.data, pws, timing=tt)
+            tt.done()
+            for bi in range(B):
+                chains[bi].append(proofs[bi])
+                prev[bi] = proofs[bi]
 
     outs = np.stack([np.asarray(_pis(prev[bi], lay.latest_acc),
                                 dtype=np.uint64).reshape(p.K, p.N)

@@ -21,9 +21,8 @@ import jax.numpy as jnp
 from ..field import goldilocks as gl
 from ..field import extension as ee
 from ..hashing import constants as HC
-from ..circuit.builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS_A,
-                               POS_B, POS_C, CONST, PI, SELECT, ARITH_LANES,
-                               SELECT_LANES, POS_CHUNK)
+from ..circuit.builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS1,
+                               CONST, PI, SELECT, ARITH_LANES, SELECT_LANES)
 
 _EPS32 = (1 << 32) - 1
 
@@ -147,16 +146,50 @@ def eval_gate(gate, F, wires, consts, pi_hash) -> list:
             cs.append(F.sub(hi_acc, hi))
             cs.append(F.sub(F.mul(F.add_int(hi, gl.P - _EPS32), u), t1))
             cs.append(F.mul(lo, F.sub(t1, _one(F, t1))))
-    elif kind in (POS_A, POS_B, POS_C):
-        offset = {POS_A: 0, POS_B: POS_CHUNK, POS_C: 2 * POS_CHUNK}[kind]
+    elif kind == POS1:
+        # one whole permutation per row; see builder.py POS1 wire layout
+        # and hashing/constants.pos1_affine_data for the partial-round
+        # affine folding. Constraint order: full rounds 0..3 (12 each),
+        # partial sboxes j=0..21 (1 each), full rounds 26..29 (12 each).
+        a0, b0, c0, A26, B26, c26 = HC.pos1_affine_data()
+        s4w = [wires[60 + i] for i in range(12)]      # state after round 3
+        sbw = [wires[72 + j] for j in range(22)]      # partial sbox outs
         state = [wires[i] for i in range(12)]
-        boundary = [wires[12 + i] for i in range(12)]
-        for step in range(POS_CHUNK):
-            out = _poseidon_round(F, state, offset + step)
-            if step < POS_CHUNK - 1:
-                nxt = [wires[24 + 12 * step + i] for i in range(12)]
-            else:
-                nxt = boundary
+        for k in range(HC.HALF_FULL_ROUNDS):
+            out = _poseidon_round(F, state, k)
+            nxt = [wires[24 + 12 * k + i] for i in range(12)]
+            cs.extend(F.sub(out[i], nxt[i]) for i in range(12))
+            state = nxt
+        for j in range(HC.N_PARTIAL_ROUNDS):
+            acc = None
+            for i in range(12):
+                if int(a0[j, i]):
+                    t = F.mul_int(s4w[i], int(a0[j, i]))
+                    acc = t if acc is None else F.add(acc, t)
+            for k in range(j):
+                if int(b0[j, k]):
+                    t = F.mul_int(sbw[k], int(b0[j, k]))
+                    acc = t if acc is None else F.add(acc, t)
+            acc = F.add_int(acc, int(c0[j]))
+            cs.append(F.sub(_sbox(F, acc), sbw[j]))
+        x26 = []
+        for i in range(12):
+            acc = None
+            for k in range(12):
+                if int(A26[i, k]):
+                    t = F.mul_int(s4w[k], int(A26[i, k]))
+                    acc = t if acc is None else F.add(acc, t)
+            for k in range(22):
+                if int(B26[i, k]):
+                    t = F.mul_int(sbw[k], int(B26[i, k]))
+                    acc = t if acc is None else F.add(acc, t)
+            x26.append(F.add_int(acc, int(c26[i])))
+        state = x26
+        targets = ([wires[94 + 12 * k:94 + 12 * (k + 1)] for k in range(3)]
+                   + [wires[12:24]])
+        for k in range(4):
+            out = _poseidon_round(F, state, 26 + k)
+            nxt = list(targets[k])
             cs.extend(F.sub(out[i], nxt[i]) for i in range(12))
             state = nxt
     elif kind == SELECT:
@@ -263,8 +296,8 @@ def eval_gate_stacked(gate, wire_lde: jnp.ndarray, const_lde: jnp.ndarray,
         y = wire_lde[idx + 2]
         out = wire_lde[idx + 3]
         return gl.sub(gl.add(gl.mul(b, gl.sub(x, y)), y), out)
-    if kind in (POS_A, POS_B, POS_C):
-        return _poseidon_stacked(kind, wire_lde)
+    if kind == POS1:
+        return _pos1_stacked(wire_lde)
     if kind == CONST:
         return gl.sub(wire_lde[0:4], const_lde[0:4])
     if kind == PI:
@@ -272,27 +305,49 @@ def eval_gate_stacked(gate, wire_lde: jnp.ndarray, const_lde: jnp.ndarray,
     raise ValueError(kind)
 
 
-def _poseidon_stacked(kind, wire_lde: jnp.ndarray) -> jnp.ndarray:
-    """Tensorized Poseidon gate constraints, order-matched to eval_gate."""
+def _pos1_stacked(wire_lde: jnp.ndarray) -> jnp.ndarray:
+    """Tensorized POS1 gate constraints, order-matched to eval_gate."""
     from ..hashing import poseidon as HPm
-    offset = {POS_A: 0, POS_B: POS_CHUNK, POS_C: 2 * POS_CHUNK}[kind]
     rc = HC.all_round_constants()
-    state = jnp.transpose(wire_lde[0:12])          # (n, 12)
-    boundary = jnp.transpose(wire_lde[12:24])
-    inter = jnp.transpose(wire_lde[24:132]).reshape(-1, 9, 12)
+    a0, b0, c0, A26, B26, c26 = HC.pos1_affine_data()
+    s4 = wire_lde[60:72]                           # (12, n)
+    sb = wire_lde[72:94]                           # (22, n)
     cs = []
-    for step in range(POS_CHUNK):
-        r = offset + step
-        s = gl.add(state, jnp.asarray(rc[r]))
-        full = (r < HC.HALF_FULL_ROUNDS or
-                r >= HC.HALF_FULL_ROUNDS + HC.N_PARTIAL_ROUNDS)
-        if full:
-            s = HPm._sbox(s)
-        else:
-            s = s.at[:, 0].set(HPm._sbox(s[:, 0]))
-        out = HPm._mds(s)
-        nxt = inter[:, step, :] if step < POS_CHUNK - 1 else boundary
+
+    # full rounds 0..3 against wired states
+    state = jnp.transpose(wire_lde[0:12])          # (n, 12)
+    for k in range(HC.HALF_FULL_ROUNDS):
+        out = HPm._mds(HPm._sbox(gl.add(state, jnp.asarray(rc[k]))))
+        nxt = jnp.transpose(wire_lde[24 + 12 * k:36 + 12 * k])
         cs.append(jnp.transpose(gl.sub(out, nxt)))  # (12, n)
+        state = nxt
+
+    # partial rounds: sbox-input = a0 @ s4 + b0 @ sb + c0  (affine)
+    def dot_rows(mat, cols):
+        # (R, K) constant @ (K, n) columns -> (R, n), modular
+        acc = jnp.zeros((mat.shape[0], cols.shape[1]), jnp.uint64)
+        for k in range(mat.shape[1]):
+            acc = gl.add(acc, gl.mul(jnp.asarray(mat[:, k])[:, None],
+                                     cols[k][None, :]))
+        return acc
+
+    y0 = gl.add(gl.add(dot_rows(a0, s4), dot_rows(b0, sb)),
+                jnp.asarray(c0)[:, None])          # (22, n)
+    x2 = gl.mul(y0, y0)
+    x4 = gl.mul(x2, x2)
+    x7 = gl.mul(gl.mul(x4, x2), y0)
+    cs.append(gl.sub(x7, sb))                      # (22, n)
+
+    # full rounds 26..29; round-26 input is affine in (s4, sb)
+    x26 = gl.add(gl.add(dot_rows(A26, s4), dot_rows(B26, sb)),
+                 jnp.asarray(c26)[:, None])        # (12, n)
+    state = jnp.transpose(x26)
+    targets = [wire_lde[94:106], wire_lde[106:118], wire_lde[118:130],
+               wire_lde[12:24]]
+    for k in range(4):
+        out = HPm._mds(HPm._sbox(gl.add(state, jnp.asarray(rc[26 + k]))))
+        nxt = jnp.transpose(targets[k])
+        cs.append(jnp.transpose(gl.sub(out, nxt)))
         state = nxt
     return jnp.concatenate(cs, axis=0)
 
@@ -308,8 +363,8 @@ def num_gate_constraints(gates) -> int:
             n += (g.param + 5) * g.lanes
         elif g.kind == SELECT:
             n += SELECT_LANES
-        elif g.kind in (POS_A, POS_B, POS_C):
-            n += 12 * POS_CHUNK
+        elif g.kind == POS1:
+            n += 12 * HC.N_FULL_ROUNDS + HC.N_PARTIAL_ROUNDS
         elif g.kind in (CONST, PI):
             n += 4
     return n

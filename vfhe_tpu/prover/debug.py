@@ -18,9 +18,8 @@ from ..hashing import poseidon as HP
 from ..circuit.compile import CircuitData, PartialWitness
 from .constraints import eval_gate_stacked
 
-KIND_NAMES = {0: "NOOP", 1: "ARITH", 2: "BASESUM", 3: "POS_A", 4: "POS_B",
-              5: "POS_C", 6: "CONST", 7: "PI", 8: "SELECT",
-              9: "BASESUM_CANON"}
+KIND_NAMES = {0: "NOOP", 1: "ARITH", 2: "BASESUM", 3: "POS1", 4: "CONST",
+              5: "PI", 6: "SELECT", 7: "BASESUM_CANON"}
 
 
 def check_witness(data: CircuitData, pw: PartialWitness,
