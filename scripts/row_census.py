@@ -23,11 +23,7 @@ logging.basicConfig(level=logging.INFO, format="%(message)s")
 
 
 def census(data, cfg):
-    from vfhe_tpu.circuit.builder import (ARITH, BASESUM, BASESUM_CANON,
-                                          SELECT, POS1, CONST, PI)
-    names = {ARITH: "ARITH", BASESUM: "BASESUM",
-             BASESUM_CANON: "BASESUM_CANON", SELECT: "SELECT",
-             POS1: "POS1", CONST: "CONST", PI: "PI"}
+    from vfhe_tpu.prover.debug import KIND_NAMES as names
     counts = collections.Counter()
     sel_rows = data.selectors.sum(axis=1)
     for g in data.gates:

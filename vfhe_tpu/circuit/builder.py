@@ -57,8 +57,10 @@ from ..hashing import poseidon as HP
 from .config import CircuitConfig, STANDARD_CONFIG
 
 # gate kind tags
-(NOOP, ARITH, BASESUM, POS1, CONST, PI, SELECT, BASESUM_CANON) = range(8)
+(NOOP, ARITH, BASESUM, POS1, CONST, PI, SELECT, BASESUM_CANON,
+ NTTBF, NTTBF_INV, DECOMP) = range(11)
 SELECT_LANES = 20
+NTTBF_LANES = 20          # butterflies per row; twiddle in const col l
 
 ARITH_LANES = 20
 # Rounds whose (post-MDS) output states are wired in a POS1 row; the
@@ -101,9 +103,12 @@ class CircuitBuilder:
         self._basesum: dict[int, list] = {}   # nbits -> [(sum(L,), bits(L,b))]
         # nbits -> [(sum(L,), bits(L,b), aux(L,4)=[lo,hi,u,t1])]
         self._basesum_canon: dict[int, list] = {}
-        self._poseidon: list = []             # (in(L,12), states(L,30,12))
+        self._poseidon: list = []             # (in(L,12), states(L,8,12), sbox)
         self._sponges: list = []              # carry-precompute descriptors
         self._select: list = []               # (b, x, y, out) flat lanes
+        self._nttbf: dict = {}                # inverse -> [(u,v,o1,o2,tw)]
+        # (nbits, logb) -> [(x(L,), limbs(L,nl), bits(L,nb), aux(L,4))]
+        self._decomp: dict = {}
         self._built = False
 
     # ------------------------------------------------------------------ #
@@ -280,6 +285,57 @@ class CircuitBuilder:
         self._ops.append(_WitnessOp("split", dict(x=x, bits=bits, aux=aux)))
         self._basesum_canon.setdefault(nbits, []).append((x, bits, aux))
         return bits
+
+    def ntt_butterfly_vec(self, u, v, twiddles, inverse: bool = False):
+        """Fused NTT butterfly lanes with the per-lane twiddle in a
+        CONSTANT COLUMN (no twiddle wire, so 20 butterflies/row at
+        constraint degree 1 — vs 2 arithmetic lanes per butterfly):
+
+            forward:  (o1, o2) = (u + c*v, u - c*v)
+            inverse:  (o1, o2) = (u + v, c*(u - v))
+
+        Returns (o1, o2) target arrays of u's shape."""
+        shape = _np_idx(u).shape
+        u, v = _np_idx(u).ravel(), _np_idx(v).ravel()
+        tw = np.ascontiguousarray(twiddles, dtype=np.uint64).ravel()
+        assert u.shape == v.shape == tw.shape
+        o1 = self.add_virtual_targets(u.size)
+        o2 = self.add_virtual_targets(u.size)
+        self._defined.update(o1.tolist())
+        self._defined.update(o2.tolist())
+        self._ops.append(_WitnessOp("nttbf", dict(
+            u=u, v=v, o1=o1, o2=o2, tw=tw, inv=bool(inverse))))
+        self._nttbf.setdefault(bool(inverse), []).append((u, v, o1, o2, tw))
+        return o1.reshape(shape), o2.reshape(shape)
+
+    def split_le_limbs_vec(self, xs, logb: int, num_limbs: int):
+        """Canonical split + BALANCED limb recombination in ONE row (the
+        DECOMP gate): wires [x, balanced(nl), bits(nbits), aux(4)].
+
+        balanced_i = sum_j bits[i*logb+j]*2^j + carry_{i-1} - B*carry_i
+        with carry_i = the chunk's top bit — i.e. the whole signed-digit
+        carry/balancer chain of glwe_poly.rs:28-50 as nl LINEAR
+        constraints in the split's own row (previously: one BASESUM row
+        batch for limb sums plus 3 arithmetic lanes per limb for the
+        carry chain). Same canonicity constraints as split_le_vec
+        (requires nbits >= 64; bits past 63 pinned to zero).
+        Returns (bits (L, nbits), balanced (nl, L))."""
+        xs = _np_idx(xs)
+        L = xs.size
+        nbits = num_limbs * logb
+        assert nbits >= 64
+        bits = self.add_virtual_targets(L * nbits).reshape(L, nbits)
+        aux = self.add_virtual_targets(L * 4).reshape(L, 4)
+        bal = self.add_virtual_targets(L * num_limbs) \
+            .reshape(L, num_limbs)
+        self._defined.update(bits.ravel().tolist())
+        self._defined.update(aux.ravel().tolist())
+        self._defined.update(bal.ravel().tolist())
+        self._ops.append(_WitnessOp("splitd", dict(
+            x=xs, bits=bits, aux=aux, bal=bal, logb=logb)))
+        self._decomp.setdefault((nbits, logb), []).append(
+            (xs, bal, bits, aux))
+        return bits, bal.T
 
     def le_sum_vec(self, bits) -> np.ndarray:
         """(L, nbits) bit targets -> (L,) recombined sums."""
@@ -610,6 +666,11 @@ class CircuitBuilder:
             rows += -(-sum(e[0].size for e in entries) // lanes_pr)
         sel_lanes = sum(s[0].size for s in self._select)
         rows += -(-sel_lanes // SELECT_LANES)
+        for entries in self._nttbf.values():
+            lanes = sum(e[0].size for e in entries)
+            rows += -(-lanes // NTTBF_LANES)
+        for entries in self._decomp.values():
+            rows += sum(e[0].size for e in entries)
         rows += sum(p[0].shape[0] for p in self._poseidon)
         rows += -(-len(self._const_map) // 4)
         rows += 1  # PI gate

@@ -21,8 +21,9 @@ from ..field import goldilocks as gl
 from ..hashing import constants as HC
 from ..hashing import poseidon as HP
 from .builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS1, CONST,
-                      PI, SELECT, ARITH_LANES, SELECT_LANES, POS1_KEEP,
-                      POS1_OUT_IDX, CircuitBuilder, GateInstance)
+                      PI, SELECT, NTTBF, NTTBF_INV, DECOMP, ARITH_LANES,
+                      SELECT_LANES, NTTBF_LANES, POS1_KEEP, POS1_OUT_IDX,
+                      CircuitBuilder, GateInstance)
 from .config import CircuitConfig
 
 
@@ -160,6 +161,42 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
             consts_rows.append([0, 0, 0, 0])
             kinds.append((BASESUM_CANON, nbits))
 
+    # ---- decomposition rows (split + limb sums in one row) --------------
+    for (nbits, logb), entries in sorted(b._decomp.items()):
+        xs = np.concatenate([e[0] for e in entries])
+        limbs = np.concatenate([e[1] for e in entries], axis=0)
+        bitsm = np.concatenate([e[2] for e in entries], axis=0)
+        aux = np.concatenate([e[3] for e in entries], axis=0)
+        lanes = np.concatenate([xs[:, None], limbs, bitsm, aux], axis=1)
+        for r in range(lanes.shape[0]):
+            wires_rows.append(lanes[r])
+            consts_rows.append([])
+            kinds.append((DECOMP, (nbits << 8) | logb))
+
+    # ---- NTT butterfly rows (twiddles in constant columns) --------------
+    for inv in sorted(b._nttbf):
+        entries = b._nttbf[inv]
+        u = np.concatenate([e[0] for e in entries])
+        v = np.concatenate([e[1] for e in entries])
+        o1 = np.concatenate([e[2] for e in entries])
+        o2 = np.concatenate([e[3] for e in entries])
+        tw = np.concatenate([e[4] for e in entries])
+        lanes = u.size
+        nrows = -(-lanes // NTTBF_LANES)
+        padn = nrows * NTTBF_LANES - lanes
+        if padn:
+            zpad = np.full(padn, zero_t, dtype=np.int64)
+            u, v, o1, o2 = (np.concatenate([x, zpad])
+                            for x in (u, v, o1, o2))
+            tw = np.concatenate([tw, np.zeros(padn, np.uint64)])
+        lanes4 = np.stack([u, v, o1, o2], axis=1).reshape(
+            nrows, NTTBF_LANES * 4)
+        twr = tw.reshape(nrows, NTTBF_LANES)
+        for r in range(nrows):
+            wires_rows.append(lanes4[r])
+            consts_rows.append([int(x) for x in twr[r]])
+            kinds.append((NTTBF_INV if inv else NTTBF, 0))
+
     # ---- poseidon rows (one row per permutation, POS1 layout) -----------
     # wires: in(12) | out(12) | r0..r3 states(48) | 22 sbox | r26..r28(36)
     for inp, st, sbx in b._poseidon:
@@ -200,16 +237,17 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
     for r, row in enumerate(wires_rows):
         wire_index[r, :row.size] = row
     row_consts = np.zeros((h, cfg.num_constants), dtype=np.uint64)
-    arr = np.array([[int(x) % gl.P for x in rc] for rc in consts_rows],
-                   dtype=np.uint64)
-    row_consts[:rows_used] = arr
+    for r, rc in enumerate(consts_rows):
+        if rc:
+            row_consts[r, :len(rc)] = [int(x) % gl.P for x in rc]
 
     # ---- selectors ------------------------------------------------------
     gate_key_to_sel = {}
     gates: list[GateInstance] = []
     sel_of_row = np.full(h, -1, dtype=np.int64)
     for r, (kind, param) in enumerate(kinds):
-        key = (kind, param if kind in (BASESUM, BASESUM_CANON) else 0)
+        key = (kind, param if kind in (BASESUM, BASESUM_CANON, DECOMP)
+               else 0)
         if kind == NOOP:
             continue
         if key not in gate_key_to_sel:
@@ -219,6 +257,8 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
                 lanes = max(1, cfg.num_routed_wires // (key[1] + 1))
             elif key[0] == BASESUM_CANON:
                 lanes = max(1, cfg.num_routed_wires // (key[1] + 5))
+            elif key[0] in (NTTBF, NTTBF_INV):
+                lanes = NTTBF_LANES
             gates.append(GateInstance(kind=key[0], param=key[1],
                                       selector=len(gates), lanes=lanes))
         sel_of_row[r] = gate_key_to_sel[key]
@@ -373,6 +413,53 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
                     t1 = gl.mul(diff, u)
                     w = w.at[d["aux"]].set(
                         jnp.stack([lo, hi, u, t1], axis=-1))
+            elif op.kind == "splitd":
+                x = w[d["x"]]
+                nbits = d["bits"].shape[1]
+                logb = d["logb"]
+                shifts = np.arange(nbits)
+                cl = np.minimum(shifts, 63).astype(np.uint64)
+                extra = (shifts - cl.astype(np.int64)).astype(np.uint64)
+                bits = ((x[:, None] >> cl[None, :]) >> extra[None, :]) \
+                    & jnp.uint64(1)
+                w = w.at[d["bits"]].set(bits)
+                lo = x & jnp.uint64(0xFFFF_FFFF)
+                hi = x >> jnp.uint64(32)
+                diff = gl.sub(hi, jnp.uint64(0xFFFF_FFFF))
+                u = gl.inv(diff)
+                t1 = gl.mul(diff, u)
+                w = w.at[d["aux"]].set(jnp.stack([lo, hi, u, t1], axis=-1))
+                nl = nbits // logb
+                mask = jnp.uint64((1 << logb) - 1)
+                lsh = np.minimum(np.arange(nl) * logb, 63).astype(np.uint64)
+                lextra = (np.arange(nl) * logb -
+                          lsh.astype(np.int64)).astype(np.uint64)
+                limbs = ((x[:, None] >> lsh[None, :]) >> lextra[None, :]) \
+                    & mask
+                # carry c_i = top bit of chunk i; balanced limb =
+                # limb + c_{i-1} - B*c_i (the signed-digit balancer)
+                csh = np.minimum((np.arange(nl) + 1) * logb - 1, 63) \
+                    .astype(np.uint64)
+                cextra = ((np.arange(nl) + 1) * logb - 1 -
+                          csh.astype(np.int64)).astype(np.uint64)
+                carry = ((x[:, None] >> csh[None, :]) >> cextra[None, :]) \
+                    & jnp.uint64(1)
+                prev_c = jnp.concatenate(
+                    [jnp.zeros((x.shape[0], 1), jnp.uint64),
+                     carry[:, :-1]], axis=1)
+                bal = gl.sub(gl.add(limbs, prev_c),
+                             gl.mul(jnp.uint64(1 << logb), carry))
+                w = w.at[d["bal"]].set(bal)
+            elif op.kind == "nttbf":
+                uv, vv = w[d["u"]], w[d["v"]]
+                tw = jnp.asarray(d["tw"])
+                if d["inv"]:
+                    w = w.at[d["o1"]].set(gl.add(uv, vv))
+                    w = w.at[d["o2"]].set(gl.mul(tw, gl.sub(uv, vv)))
+                else:
+                    s = gl.mul(tw, vv)
+                    w = w.at[d["o1"]].set(gl.add(uv, s))
+                    w = w.at[d["o2"]].set(gl.sub(uv, s))
             elif op.kind == "lesum":
                 bits_v = w[d["bits"]]
                 nbits = d["bits"].shape[1]

@@ -17,7 +17,8 @@ from dataclasses import dataclass
 class CircuitConfig:
     num_wires: int = 132            # 80 routed + poseidon intermediates
     num_routed_wires: int = 80
-    num_constants: int = 4          # constant columns
+    num_constants: int = 20         # constant columns (NTTBF: one
+    #                                 twiddle per butterfly lane)
     rate_bits: int = 3              # LDE blowup 8x
     cap_height: int = 4
     num_challenges: int = 2         # independent permutation/quotient sets

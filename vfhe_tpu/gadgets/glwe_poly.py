@@ -42,20 +42,13 @@ def decompose_vec(b, xs, logb: int, num_limbs: int) -> np.ndarray:
         x_centered = plus_or_minus_vec(b, sgn, xs)
     else:
         x_centered = xs
-    bits_c = b.split_le_vec(x_centered, nbits)
-    base_t = b.constant(1 << logb)
-    carry = np.full(L, b.zero(), dtype=np.int64)
-    limbs = []
-    for i in range(num_limbs):
-        chunk = bits_c[:, i * logb:(i + 1) * logb]
-        k = b.le_sum_vec(chunk)
-        k_w_carry = b.add_vec(k, carry)
-        carry = chunk[:, -1]
-        balancer = b.mul_vec(carry, np.full(L, base_t, dtype=np.int64))
-        balanced = b.sub_vec(k_w_carry, balancer)
-        limbs.append(plus_or_minus_vec(b, sgn, balanced) if signed
-                     else balanced)
-    return np.stack(limbs, axis=0)
+    # split + balanced-limb recombination in ONE row (DECOMP gate): the
+    # carry/balancer chain is linear in the row's own bits
+    _, balanced = b.split_le_limbs_vec(x_centered, logb, num_limbs)
+    if not signed:
+        return np.stack(list(balanced), axis=0)
+    return np.stack([plus_or_minus_vec(b, sgn, balanced[i])
+                     for i in range(num_limbs)], axis=0)
 
 
 def decompose(b, x: int, logb: int, num_limbs: int) -> np.ndarray:

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..field.goldilocks import P as gl_P
 from ..ntt.params import get_params
 
 
@@ -30,13 +29,12 @@ def ntt_forward(b, x: np.ndarray) -> np.ndarray:
         xr = x.reshape(*batch, m, 2, t)
         u = xr[..., 0, :].reshape(-1)
         vsrc = xr[..., 1, :].reshape(-1)
-        roots = np.broadcast_to(p.roots[m:2 * m, None], (*batch, m, t))
-        s_ts = np.broadcast_to(b.constants(p.roots[m:2 * m]),
-                               (*batch, m))[..., None]
-        s_ts = np.broadcast_to(s_ts, (*batch, m, t)).reshape(-1)
-        # fused butterflies: u + s*x and u - s*x as single arith lanes
-        new0 = b._arith_vec(1, 1, s_ts, vsrc, u)
-        new1 = b._arith_vec(gl_P - 1, 1, s_ts, vsrc, u)
+        # one NTTBF ledger entry per stage: 20 butterflies/row with the
+        # twiddle in a per-lane constant COLUMN (degree-1 constraints,
+        # half the lanes of the arithmetic-gate lowering)
+        roots = np.broadcast_to(p.roots[m:2 * m, None],
+                                (*batch, m, t)).reshape(-1)
+        new0, new1 = b.ntt_butterfly_vec(u, vsrc, roots)
         x = np.stack([new0.reshape(*batch, m, t),
                       new1.reshape(*batch, m, t)], axis=-2).reshape(*batch, n)
     return x
@@ -55,10 +53,9 @@ def ntt_backward(b, x: np.ndarray) -> np.ndarray:
         xr = x.reshape(*batch, m, 2, t)
         u = xr[..., 0, :].reshape(-1)
         v = xr[..., 1, :].reshape(-1)
-        new0 = b.add_vec(u, v)
-        diff = b.sub_vec(u, v)
-        invroots = np.broadcast_to(p.invroots[m:2 * m, None], (*batch, m, t))
-        new1 = b.mul_const_vec(invroots.ravel(), diff)
+        invroots = np.broadcast_to(p.invroots[m:2 * m, None],
+                                   (*batch, m, t)).reshape(-1)
+        new0, new1 = b.ntt_butterfly_vec(u, v, invroots, inverse=True)
         x = np.stack([new0.reshape(*batch, m, t),
                       new1.reshape(*batch, m, t)], axis=-2).reshape(*batch, n)
     return b.mul_const_vec(np.full(x.size, p.ninv, dtype=np.uint64),

@@ -25,8 +25,9 @@ import numpy as np
 from ..field import goldilocks as gl
 from ..field import extension as fe
 from ..circuit.builder import (ARITH, BASESUM, BASESUM_CANON, POS1,
-                               CONST, PI, SELECT, ARITH_LANES,
-                               SELECT_LANES)
+                               CONST, PI, SELECT, NTTBF, NTTBF_INV,
+                               DECOMP, ARITH_LANES, SELECT_LANES,
+                               NTTBF_LANES)
 from ..hashing import constants as HC
 from ..gadgets import extension as ge
 from ..prover.fft import COSET_SHIFT
@@ -247,6 +248,67 @@ def eval_gates_circuit(b, gates, wires, consts, pi_ext):
             terms = np.concatenate(
                 [bools, recomb, lo_c, hi_c, t1row, canon],
                 axis=1).reshape(-1, 2)
+        elif kind == DECOMP:
+            nb = gate.param >> 8
+            logb = gate.param & 0xFF
+            nl = nb // logb
+            x = wires[0]
+            bal = wires[1:1 + nl]
+            bits = wires[1 + nl:1 + nl + nb]           # (nb, 2)
+            lo, hi, u, t1 = (wires[1 + nl + nb + k] for k in range(4))
+            bools = ge.ext_sub(b, ge.ext_mul(b, bits, bits), bits)
+            if nb > 64:
+                bools = np.concatenate([bools[:64], bits[64:]], axis=0)
+            pows = np.array([pow(2, i, gl.P) for i in range(nb)],
+                            dtype=np.uint64)
+            weighted = ge.ext_mul_base(b, bits, b.constants(pows))
+            total = ext_tree_sum(b, weighted)
+            recomb = ge.ext_sub(b, total, x)[None, :]
+            pows32 = np.array([1 << i for i in range(32)], dtype=np.uint64)
+            c32 = b.constants(pows32)
+            lo_sum = ext_tree_sum(b, ge.ext_mul_base(b, bits[:32], c32))
+            hi_sum = ext_tree_sum(b, ge.ext_mul_base(b, bits[32:64], c32))
+            lo_c = ge.ext_sub(b, lo_sum, lo)[None, :]
+            hi_c = ge.ext_sub(b, hi_sum, hi)[None, :]
+            eps_ext = np.array([b.constant((1 << 32) - 1), b.zero()],
+                               dtype=np.int64)
+            one_ext = np.array([b.one(), b.zero()], dtype=np.int64)
+            t1row = ge.ext_sub(
+                b, ge.ext_mul(b, ge.ext_sub(b, hi, eps_ext), u),
+                t1)[None, :]
+            canon = ge.ext_mul(
+                b, lo, ge.ext_sub(b, t1, one_ext))[None, :]
+            powsl = np.array([1 << j for j in range(logb)],
+                             dtype=np.uint64)
+            lb = ge.ext_mul_base(
+                b, bits[:nl * logb].reshape(nl, logb, 2),
+                b.constants(np.tile(powsl[None], (nl, 1)))
+                .reshape(nl, logb))
+            lsum = ext_tree_sum(b, np.moveaxis(lb, 1, 0))   # (nl, 2)
+            # + carry_{i-1} - B*carry_i (top bit of each chunk)
+            carry = bits[logb - 1::logb]                    # (nl, 2)
+            zero2 = np.array([b.zero(), b.zero()], dtype=np.int64)
+            prev_c = np.concatenate([zero2[None], carry[:-1]], axis=0)
+            negB = np.full(nl, b.constant(gl.P - (1 << logb)),
+                           dtype=np.int64)
+            lsum = ge.ext_add(b, ge.ext_add(b, lsum, prev_c),
+                              ge.ext_mul_base(b, carry, negB))
+            ldiff = ge.ext_sub(b, lsum, bal)
+            terms = np.concatenate(
+                [bools, recomb, lo_c, hi_c, t1row, canon, ldiff], axis=0)
+        elif kind in (NTTBF, NTTBF_INV):
+            idx = np.arange(NTTBF_LANES) * 4
+            u_w, v_w, o1, o2 = (wires[idx + j] for j in range(4))
+            cl = consts[0:NTTBF_LANES]                 # (20, 2)
+            if kind == NTTBF:
+                s = ge.ext_mul(b, cl, v_w)
+                c1 = ge.ext_sub(b, ge.ext_add(b, u_w, s), o1)
+                c2 = ge.ext_sub(b, ge.ext_sub(b, u_w, s), o2)
+            else:
+                c1 = ge.ext_sub(b, ge.ext_add(b, u_w, v_w), o1)
+                c2 = ge.ext_sub(
+                    b, ge.ext_mul(b, cl, ge.ext_sub(b, u_w, v_w)), o2)
+            terms = np.stack([c1, c2], axis=1).reshape(-1, 2)
         elif kind == POS1:
             terms = _eval_pos1(b, wires)
         elif kind == CONST:

@@ -205,16 +205,19 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
     analogue is common_data_for_recursion's fixed gate list,
     ivc_based_vpbs.rs:30-62). Row order in circuit/compile.py determines
     selector indices: ARITH, SELECT, BASESUM (asc widths), BASESUM_CANON
-    (asc widths), POS1, CONST, PI."""
+    (asc widths), DECOMP (asc keys), NTTBF/NTTBF_INV, POS1, CONST, PI."""
     from ..circuit.builder import (ARITH, BASESUM, BASESUM_CANON, SELECT,
+                                   NTTBF, NTTBF_INV, DECOMP, NTTBF_LANES,
                                    POS1, CONST, PI, GateInstance)
-    # Discover the step circuit's BASESUM widths by dry-building it
+    # Discover the step circuit's gate inventory by dry-building it
     # (cheap relative to a proof); union with the recursive verifier's
     # own widths: 64-bit canonical splits (PoW + query indices).
     probe = CircuitBuilder(config)
     build_step_circuit(probe, params)
     widths = sorted(probe._basesum.keys())
     canon_widths = sorted(set(probe._basesum_canon.keys()) | {64})
+    decomp_keys = sorted(probe._decomp.keys())
+    nttbf_kinds = sorted(probe._nttbf.keys())
     gates = []
 
     def g(kind, param=0):
@@ -223,6 +226,8 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
             lanes = max(1, config.num_routed_wires // (param + 1))
         elif kind == BASESUM_CANON:
             lanes = max(1, config.num_routed_wires // (param + 5))
+        elif kind in (NTTBF, NTTBF_INV):
+            lanes = NTTBF_LANES
         gates.append(GateInstance(kind=kind, param=param,
                                   selector=len(gates), lanes=lanes))
 
@@ -232,6 +237,10 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
         g(BASESUM, w)
     for w in canon_widths:
         g(BASESUM_CANON, w)
+    for nbits, logb in decomp_keys:
+        g(DECOMP, (nbits << 8) | logb)
+    for inv in nttbf_kinds:
+        g(NTTBF_INV if inv else NTTBF)
     g(POS1)
     g(CONST)
     g(PI)

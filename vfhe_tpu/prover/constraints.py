@@ -22,7 +22,8 @@ from ..field import goldilocks as gl
 from ..field import extension as ee
 from ..hashing import constants as HC
 from ..circuit.builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS1,
-                               CONST, PI, SELECT, ARITH_LANES, SELECT_LANES)
+                               CONST, PI, SELECT, NTTBF, NTTBF_INV, DECOMP,
+                               ARITH_LANES, SELECT_LANES, NTTBF_LANES)
 
 _EPS32 = (1 << 32) - 1
 
@@ -146,6 +147,57 @@ def eval_gate(gate, F, wires, consts, pi_hash) -> list:
             cs.append(F.sub(hi_acc, hi))
             cs.append(F.sub(F.mul(F.add_int(hi, gl.P - _EPS32), u), t1))
             cs.append(F.mul(lo, F.sub(t1, _one(F, t1))))
+    elif kind == DECOMP:
+        # wires [x, balanced(nl), bits(nbits), aux(4)]; constraint order:
+        # bools (pinned-zero past 63), recomb, lo, hi, t1row, canon,
+        # then nl balanced-limb rows (merged le_sum + carry/balancer)
+        nbits, logb = gate.param >> 8, gate.param & 0xFF
+        nl = nbits // logb
+        x = wires[0]
+        bal = [wires[1 + i] for i in range(nl)]
+        bit_w = [wires[1 + nl + i] for i in range(nbits)]
+        lo, hi, u, t1 = (wires[1 + nl + nbits + k] for k in range(4))
+        acc = lo_acc = hi_acc = None
+        for i in range(nbits):
+            bw = bit_w[i]
+            if i < 64:
+                cs.append(F.mul(bw, F.sub(bw, _one(F, bw))))
+            else:
+                cs.append(bw)
+            term = F.mul_int(bw, pow(2, i, gl.P))
+            acc = term if acc is None else F.add(acc, term)
+            if i < 32:
+                t = F.mul_int(bw, 1 << i)
+                lo_acc = t if lo_acc is None else F.add(lo_acc, t)
+            elif i < 64:
+                t = F.mul_int(bw, 1 << (i - 32))
+                hi_acc = t if hi_acc is None else F.add(hi_acc, t)
+        cs.append(F.sub(acc, x))
+        cs.append(F.sub(lo_acc, lo))
+        cs.append(F.sub(hi_acc, hi))
+        cs.append(F.sub(F.mul(F.add_int(hi, gl.P - _EPS32), u), t1))
+        cs.append(F.mul(lo, F.sub(t1, _one(F, t1))))
+        for i in range(nl):
+            lacc = None
+            for j in range(logb):
+                t = F.mul_int(bit_w[i * logb + j], 1 << j)
+                lacc = t if lacc is None else F.add(lacc, t)
+            if i:
+                lacc = F.add(lacc, bit_w[i * logb - 1])
+            lacc = F.add(lacc, F.mul_int(bit_w[(i + 1) * logb - 1],
+                                         gl.P - (1 << logb)))
+            cs.append(F.sub(lacc, bal[i]))
+    elif kind in (NTTBF, NTTBF_INV):
+        for l in range(NTTBF_LANES):
+            u_w, v_w, o1, o2 = (wires[4 * l + i] for i in range(4))
+            c = consts[l]
+            if kind == NTTBF:
+                s = F.mul(c, v_w)
+                cs.append(F.sub(F.add(u_w, s), o1))
+                cs.append(F.sub(F.sub(u_w, s), o2))
+            else:
+                cs.append(F.sub(F.add(u_w, v_w), o1))
+                cs.append(F.sub(F.mul(c, F.sub(u_w, v_w)), o2))
     elif kind == POS1:
         # one whole permutation per row; see builder.py POS1 wire layout
         # and hashing/constants.pos1_affine_data for the partial-round
@@ -296,6 +348,64 @@ def eval_gate_stacked(gate, wire_lde: jnp.ndarray, const_lde: jnp.ndarray,
         y = wire_lde[idx + 2]
         out = wire_lde[idx + 3]
         return gl.sub(gl.add(gl.mul(b, gl.sub(x, y)), y), out)
+    if kind == DECOMP:
+        nb, logb = gate.param >> 8, gate.param & 0xFF
+        nl = nb // logb
+        x = wire_lde[0]
+        bal = wire_lde[1:1 + nl]                       # (nl, n)
+        bits = wire_lde[1 + nl:1 + nl + nb]            # (nb, n)
+        lo, hi, u, t1 = (wire_lde[1 + nl + nb + k] for k in range(4))
+        bools = gl.mul(bits, gl.sub(bits, jnp.uint64(1)))
+        if nb > 64:
+            bools = jnp.concatenate([bools[:64], bits[64:]], axis=0)
+        pows = jnp.asarray(np.array([pow(2, i, gl.P) for i in range(nb)],
+                                    dtype=np.uint64))
+        weighted = gl.mul(bits, pows[:, None])
+
+        def body(carry, row):
+            return gl.add(carry, row), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros_like(x), weighted)
+        pows32 = jnp.asarray(
+            np.array([1 << i for i in range(32)], dtype=np.uint64))
+        lo_sum, _ = jax.lax.scan(body, jnp.zeros_like(x),
+                                 gl.mul(bits[:32], pows32[:, None]))
+        hi_sum, _ = jax.lax.scan(body, jnp.zeros_like(x),
+                                 gl.mul(bits[32:64], pows32[:, None]))
+        t1row = gl.sub(gl.mul(gl.sub(hi, jnp.uint64(_EPS32)), u), t1)
+        canon = gl.mul(lo, gl.sub(t1, jnp.uint64(1)))
+        powsl = jnp.asarray(
+            np.array([1 << j for j in range(logb)], dtype=np.uint64))
+        lb = gl.mul(bits[:nl * logb].reshape(nl, logb, -1),
+                    powsl[None, :, None])
+        lsum, _ = jax.lax.scan(body, jnp.zeros((nl, x.shape[0]),
+                                               jnp.uint64),
+                               jnp.moveaxis(lb, 1, 0))
+        carry = bits[logb - 1::logb]                   # (nl, n) top bits
+        prev_c = jnp.concatenate(
+            [jnp.zeros((1, x.shape[0]), jnp.uint64), carry[:-1]], axis=0)
+        lsum = gl.sub(gl.add(lsum, prev_c),
+                      gl.mul(jnp.uint64(1 << logb), carry))
+        return jnp.concatenate(
+            [bools, gl.sub(total, x)[None], gl.sub(lo_sum, lo)[None],
+             gl.sub(hi_sum, hi)[None], t1row[None], canon[None],
+             gl.sub(lsum, bal)], axis=0)
+    if kind in (NTTBF, NTTBF_INV):
+        idx = np.arange(NTTBF_LANES) * 4
+        u = wire_lde[idx]
+        v = wire_lde[idx + 1]
+        o1 = wire_lde[idx + 2]
+        o2 = wire_lde[idx + 3]
+        c = const_lde[0:NTTBF_LANES]
+        if kind == NTTBF:
+            s = gl.mul(c, v)
+            c1 = gl.sub(gl.add(u, s), o1)
+            c2 = gl.sub(gl.sub(u, s), o2)
+        else:
+            c1 = gl.sub(gl.add(u, v), o1)
+            c2 = gl.sub(gl.mul(c, gl.sub(u, v)), o2)
+        # order: per lane (c1, c2) — matches eval_gate
+        return jnp.stack([c1, c2], axis=1).reshape(2 * NTTBF_LANES, -1)
     if kind == POS1:
         return _pos1_stacked(wire_lde)
     if kind == CONST:
@@ -363,6 +473,11 @@ def num_gate_constraints(gates) -> int:
             n += (g.param + 5) * g.lanes
         elif g.kind == SELECT:
             n += SELECT_LANES
+        elif g.kind == DECOMP:
+            nb, logb = g.param >> 8, g.param & 0xFF
+            n += nb + 5 + nb // logb
+        elif g.kind in (NTTBF, NTTBF_INV):
+            n += 2 * NTTBF_LANES
         elif g.kind == POS1:
             n += 12 * HC.N_FULL_ROUNDS + HC.N_PARTIAL_ROUNDS
         elif g.kind in (CONST, PI):

@@ -19,7 +19,8 @@ from ..circuit.compile import CircuitData, PartialWitness
 from .constraints import eval_gate_stacked
 
 KIND_NAMES = {0: "NOOP", 1: "ARITH", 2: "BASESUM", 3: "POS1", 4: "CONST",
-              5: "PI", 6: "SELECT", 7: "BASESUM_CANON"}
+              5: "PI", 6: "SELECT", 7: "BASESUM_CANON", 8: "NTTBF",
+              9: "NTTBF_INV", 10: "DECOMP"}
 
 
 def check_witness(data: CircuitData, pw: PartialWitness,

@@ -69,7 +69,8 @@ def verify(vk: VerifierKey, proof: Proof) -> None:
     # ---- PLONK identity at zeta ----------------------------------------
     sels = [hf.from_array(open_pre.at_zeta[i]) for i in range(S)]
     sigmas = [hf.from_array(open_pre.at_zeta[S + i]) for i in range(R)]
-    consts = [hf.from_array(open_pre.at_zeta[S + R + i]) for i in range(4)]
+    consts = [hf.from_array(open_pre.at_zeta[S + R + i])
+              for i in range(cfg.num_constants)]
     wires = [hf.from_array(open_w.at_zeta[i])
              for i in range(open_w.at_zeta.shape[0])]
     pi_cols = [hf.ext(int(x)) for x in pi_hash]
