@@ -38,6 +38,12 @@ def main(argv=None) -> int:
                     help="prove B independent ciphertexts in lock-step "
                          "(batched prover; works with and without "
                          "--recursive)")
+    ap.add_argument("--fast", action="store_true",
+                    help="explicit-chain fast path: compute the chain "
+                         "natively, then prove ALL steps in lock-step "
+                         "batches (ivc/fastpath.verified_pbs_fast)")
+    ap.add_argument("--step-batch", type=int, default=8,
+                    help="steps per prove_batch call in --fast mode")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="persist/resume per-step proofs here")
     args = ap.parse_args(argv)
@@ -129,7 +135,16 @@ def main(argv=None) -> int:
         return 0
 
     t0 = time.time()
-    if args.recursive:
+    if args.fast and not args.recursive:
+        from vfhe_tpu.ivc.fastpath import verified_pbs_fast
+        out_ct, proofs, sc = verified_pbs_fast(
+            ct, testv, bsk, ksk, params, config=config,
+            batch_size=args.step_batch)
+        log.info("proved %d steps (fast path, batch %d) in %.2fs",
+                 len(proofs), args.step_batch, time.time() - t0)
+        t0 = time.time()
+        verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc)
+    elif args.recursive:
         out_ct, final_proof, sc = verified_pbs_recursive(
             ct, testv, bsk, ksk, params, config=config,
             debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to,

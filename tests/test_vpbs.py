@@ -174,12 +174,27 @@ def test_fast_path_matches_sequential():
 @pytest.mark.slow
 def test_paper_step_circuit_row_budget():
     """Perf-cliff guard: the paper-shape step circuit must stay within
-    2^15 trace rows (h doubles otherwise and EVERY prover phase with it
-    — CLAUDE.md pitfall 7). 31,203 rows as of round 2; the margin is
-    ~4.8%, so any per-coefficient gadget growth trips this first."""
+    2^14 trace rows (h doubles otherwise and EVERY prover phase with it
+    — CLAUDE.md pitfall 7). 11,019 rows after the round-2 row packing
+    (POS1 one-row Poseidon, DECOMP balanced-limb splits, NTTBF constant-
+    column butterflies); ~33% margin before the cliff."""
     from vfhe_tpu.circuit import STANDARD_CONFIG
     from vfhe_tpu.ivc.vpbs import get_step_circuit
     p = VpbsParams(n=2, N=1024, K=2, ELL=4, LOGB=5, p=2)
     sc = get_step_circuit(p, STANDARD_CONFIG)
-    assert sc.data.rows_used <= 1 << 15, sc.data.rows_used
-    assert sc.data.h == 1 << 15
+    assert sc.data.rows_used <= 1 << 14, sc.data.rows_used
+    assert sc.data.h == 1 << 14
+
+
+@pytest.mark.slow
+def test_paper_recursive_circuit_row_budget():
+    """The self-verifying step circuit must hold the h=2^15 fixpoint at
+    paper shape (22,576 rows after round-2 packing; the reference's
+    plonky2 recursion circuit is hand-tuned to the same height,
+    ivc_based_vpbs.rs:54-57). Growth past 2^15 doubles every recursive
+    device phase."""
+    from vfhe_tpu.circuit import STANDARD_CONFIG
+    from vfhe_tpu.ivc.vpbs import get_recursive_step_circuit
+    p = VpbsParams(n=2, N=1024, K=2, ELL=4, LOGB=5, p=2)
+    sc = get_recursive_step_circuit(p, STANDARD_CONFIG)
+    assert sc.data.h == 1 << 15, sc.data.rows_used
