@@ -69,6 +69,55 @@ def test_recursive_challenger_matches_native(rng):
     assert [int(w[t]) for t in e] == [int(v) for v in ne]
 
 
+def test_chained_sponge_precompute_bitexact(rng):
+    """The host-side sponge precompute must CHAIN through duplex sponges
+    (each absorb's init is the previous absorb's final state) and through
+    standalone permutations (empty-duplex squeezes / partial-chunk
+    absorbs), producing a witness bit-identical to the sequential
+    variant — the recursive fastpath's native transcript replay."""
+    vals = rng.integers(0, gl.P, 40, dtype=np.uint64)
+    b = CircuitBuilder(TEST_CONFIG)
+    ts = b.add_virtual_targets(40)
+    rc = RecursiveChallenger(b)
+    rc.observe(ts[:19])            # full chunks + rem -> sponge + poseidon
+    s1 = rc.sample_array(9)        # forces an empty-duplex permutation
+    rc.observe(ts[19:])            # init chained from the previous state
+    s2 = rc.sample_array(2)
+    # a digest of assigned values feeding a later absorb (the inner
+    # PI-hash pattern, verifier_circuit.py:353)
+    dig = b.hash_n_to_hash_no_pad(ts[:8])
+    rc.observe(dig)
+    s3 = rc.sample()
+    for t in np.concatenate([s1, s2, [s3]]):
+        b.register_public_input(int(t))
+    data = b.build()
+
+    pw_seq = PartialWitness()
+    pw_seq.set_target_arr(ts, vals)
+    w_seq = data.eval_witness(pw_seq)
+
+    pw_pre = PartialWitness()
+    pw_pre.set_target_arr(ts, vals)
+    pw_pre.precompute_sponges(data)
+    assert pw_pre.sponges_precomputed
+    w_pre = np.asarray(data.witness_fn_pre(
+        jnp.asarray(pw_pre.initial_vector(data))))
+    assert (np.asarray(w_seq) == w_pre).all()
+
+    # and the native transcript agrees with both
+    ch = Challenger()
+    ch.observe(vals[:19])
+    n1 = ch.sample_array(9)
+    ch.observe(vals[19:])
+    n2 = ch.sample_array(2)
+    from vfhe_tpu.hashing import poseidon as HP
+    ch.observe(np.array(HP.hash_no_pad_host([int(v) for v in vals[:8]]),
+                        dtype=np.uint64))
+    n3 = ch.sample()
+    got = [int(w_pre[t]) for t in np.concatenate([s1, s2, [s3]])]
+    assert got == [int(v) for v in n1] + [int(v) for v in n2] + [n3]
+
+
 @pytest.mark.slow
 def test_merkle_path_in_circuit(rng):
     leaves_v = rng.integers(0, gl.P, (32, 5), dtype=np.uint64)

@@ -362,7 +362,14 @@ class CircuitBuilder:
         self._ops.append(_WitnessOp("poseidon", dict(
             inp=states, states=inter, sbox=sbox)))
         self._poseidon.append((states, inter, sbox))
-        return inter[:, POS1_OUT_IDX, :]
+        out = inter[:, POS1_OUT_IDX, :]
+        # ordered precompute descriptor: lets PartialWitness.
+        # precompute_sponges chain through standalone permutations (the
+        # challenger's empty duplex / partial-chunk absorbs) when their
+        # inputs are host-resolvable; skipped otherwise (the jit always
+        # recomputes poseidon ops, so skipping is sound)
+        self._sponges.append(dict(kind="poseidon", inp=states, out=out))
+        return out
 
     def sponge_vec(self, inputs, init_state=None) -> np.ndarray:
         """Batched overwrite-mode sponge: (L, n) input targets -> (L, 12)
@@ -403,10 +410,14 @@ class CircuitBuilder:
                 chunks=chunks, init=state, states=states, sbox=sbox)))
             # descriptor for host-side carry precompute (see
             # PartialWitness.precompute_sponges): the sequential
-            # dependency chain of this absorb is the final-round capacity
+            # dependency chain of this absorb is the final-round capacity;
+            # ``final`` (the full 12-lane state after the last full chunk)
+            # lets CHAINED sponges — the Fiat-Shamir challenger's duplex —
+            # resolve their init states host-side too
             self._sponges.append(dict(
-                chunks=chunks, init=state,
-                carries=states[:, :, POS1_OUT_IDX, 8:12]))
+                kind="sponge", chunks=chunks, init=state,
+                carries=states[:, :, POS1_OUT_IDX, 8:12],
+                final=states[:, -1, POS1_OUT_IDX, :]))
             self._poseidon.append((in_mat.reshape(L * full, 12),
                                    states.reshape(L * full, 8, 12),
                                    sbox.reshape(L * full, 22)))

@@ -653,10 +653,20 @@ class PartialWitness:
         host runtime) and assign it, so the prover can use the batched
         witness variant (``witness_fn_pre``).
 
-        Requires every sponge input target (chunks + init) to be already
-        assigned here or a circuit constant — for the step circuit that
-        means the caller assigns the full public-input vector (the chain
-        values are natively computable, ivc/fastpath.compute_chain)."""
+        Descriptors are walked in circuit-build order, CHAINING state:
+        each sponge's final 12-lane state and each host-resolvable
+        standalone permutation output are marked known, so the recursive
+        verifier's Fiat-Shamir challenger — a chain of duplex sponges
+        absorbing inner-proof targets — replays natively end-to-end
+        (ivc_based_vpbs.rs:268-273's transcript, here as host work).
+
+        Requires every SPONGE input target (chunks + init) to be assigned
+        here, a circuit constant, or the output of an earlier descriptor
+        — for the step circuit that means the caller assigns the full
+        public-input vector (the chain values are natively computable,
+        ivc/fastpath.compute_chain). Standalone permutations with
+        unresolvable inputs (e.g. over in-circuit select outputs) are
+        skipped — the jit recomputes every poseidon op regardless."""
         from .. import runtime
         w = self.initial_vector(data)
         known = np.zeros(data.num_targets + 1, dtype=bool)
@@ -665,16 +675,29 @@ class PartialWitness:
             w[data.const_idx] = data.const_vals
             known[data.const_idx] = True
         known[data.zero_slot] = True
+
+        def put(targets, values):
+            w[targets] = values
+            known[targets] = True
+            self.set_target_arr(targets, values)
+
         for sp in data.sponges:
+            if sp.get("kind", "sponge") == "poseidon":
+                inp_t, out_t = sp["inp"], sp["out"]    # (L, 12) each
+                if not known[inp_t].all():
+                    continue
+                for l in range(inp_t.shape[0]):
+                    put(out_t[l], runtime.permute(w[inp_t[l]]))
+                continue
             chunks_t = sp["chunks"]            # (L, C, 8) targets
             init_t = sp["init"]                # (L, 12) targets
             carr_t = sp["carries"]             # (L, C, 4) targets
             assert known[chunks_t].all() and known[init_t].all(), \
                 "sponge inputs not assigned; cannot precompute carries"
             for l in range(chunks_t.shape[0]):
-                carries = runtime.sponge_carries(w[chunks_t[l]],
-                                                 w[init_t[l]])
-                w[carr_t[l]] = carries
-                known[carr_t[l]] = True
-                self.set_target_arr(carr_t[l], carries)
+                carries, final = runtime.sponge_carries(w[chunks_t[l]],
+                                                        w[init_t[l]])
+                put(carr_t[l], carries)
+                if "final" in sp:
+                    put(sp["final"][l], final)
         self.sponges_precomputed = True

@@ -105,10 +105,12 @@ def compute_chain(ct, testv, bsk, ksk, params: VpbsParams, bsk_digs=None):
 
 
 def step_pi_values(step: int, p: VpbsParams, lay, acc_init_vals,
-                   accs, bsk_digs, lwe_digs) -> np.ndarray:
+                   accs, bsk_digs, lwe_digs, vk_pis=None) -> np.ndarray:
     """The step proof's full public-input vector from the native chain
     values — lets PartialWitness.precompute_sponges resolve the PI-hash
-    sponge (the PI layout mirrors ivc_based_vpbs.rs:196-207)."""
+    sponge (the PI layout mirrors ivc_based_vpbs.rs:196-207). In
+    recursive mode the layout carries a trailing verifier-data section;
+    pass its values as ``vk_pis`` (cap ‖ circuit digest)."""
     pis = np.zeros(lay.num_pis, np.uint64)
 
     def put(rng, vals):
@@ -123,6 +125,8 @@ def step_pi_values(step: int, p: VpbsParams, lay, acc_init_vals,
     if step > 0:
         put(lay.bsk_hash_in, bsk_digs[step - 1])
         put(lay.lwe_hash_in, lwe_digs[step - 1])
+    if vk_pis is not None:
+        put(lay.vk, vk_pis)
     return pis
 
 

@@ -503,6 +503,14 @@ def verified_pbs_recursive(ct, testv, bsk, ksk, params: VpbsParams,
     testv_check = jnp.asarray(testv)
     ct_switched = np.asarray(clwe.mod_switch_ct(jnp.asarray(ct), p.N))
 
+    # native chain values: with the full PI vector assigned, every
+    # witness sponge resolves host-side — including the in-circuit
+    # challenger's duplex chain over the assigned inner proof (the
+    # recursive fastpath: the transcript replays natively, so witness
+    # generation runs the batched variant)
+    from .fastpath import compute_chain, step_pi_values
+    accs, bsk_digs, lwe_digs = compute_chain(ct, testv, bsk, ksk, p)
+
     prev = None
     start_step = 0
     if checkpoint_dir:
@@ -535,6 +543,10 @@ def verified_pbs_recursive(ct, testv, bsk, ksk, params: VpbsParams,
             sc.t_proof.assign(pw, prev)
         pw.set_target_arr(sc.t_vk_cap, vk.preproc_cap)
         pw.set_target_arr(sc.t_vk_digest, vk.circuit_digest)
+        pw.set_target_arr(sc.data.pi_targets, step_pi_values(
+            step, p, lay, acc_init_vals, accs, bsk_digs, lwe_digs,
+            vk_pis=vk_pis))
+        pw.precompute_sponges(sc.data)
 
         tt = TimingTree(f"prove step {step}")
         proof = prove(sc.data, pw, timing=tt)
@@ -627,14 +639,23 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk, params: VpbsParams,
     (out_cts (B,K,N), [final_proof]*B, sc): one O(1) proof per
     ciphertext, each verified by :func:`verify_pbs_recursive`."""
     from ..prover.batch import prove_batch
+    from .fastpath import compute_chain, compute_bsk_digests, step_pi_values
     p = params
     cts = np.asarray(cts, dtype=np.uint64)
     B = cts.shape[0]
     sc = get_recursive_step_circuit(p, config, min_degree_bits)
     vk = preprocess(sc.data)["vk"]
+    vk_pis = np.concatenate([np.asarray(vk.preproc_cap, np.uint64).ravel(),
+                             np.asarray(vk.circuit_digest, np.uint64)])
     acc_init_vals = np.concatenate(
         [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
     dummy = np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL))
+
+    # native chain values per ciphertext (bsk digests shared) -> full PI
+    # assignment -> every sponge incl. the challenger chain precomputes
+    bsk_digs_shared = compute_bsk_digests(bsk, ksk, p)
+    natives = [compute_chain(cts[b], testv, bsk, ksk, p,
+                             bsk_digs=bsk_digs_shared) for b in range(B)]
 
     prevs = [None] * B
     for step in range(p.num_steps):
@@ -659,6 +680,11 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk, params: VpbsParams,
                 sc.t_proof.assign(pw, prevs[b])
             pw.set_target_arr(sc.t_vk_cap, vk.preproc_cap)
             pw.set_target_arr(sc.t_vk_digest, vk.circuit_digest)
+            n_accs, n_bskd, n_lwed = natives[b]
+            pw.set_target_arr(sc.data.pi_targets, step_pi_values(
+                step, p, sc.layout, acc_init_vals, n_accs, n_bskd, n_lwed,
+                vk_pis=vk_pis))
+            pw.precompute_sponges(sc.data)
             pws.append(pw)
         tt = TimingTree(f"prove rec step {step} (batch {B})")
         prevs = prove_batch(sc.data, pws, timing=tt)

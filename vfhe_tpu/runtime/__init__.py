@@ -117,12 +117,15 @@ def merkle_path_digest(leaf, siblings, index: int) -> np.ndarray:
     return out
 
 
-def sponge_carries(chunks: np.ndarray, init_state=None) -> np.ndarray:
+def sponge_carries(chunks: np.ndarray, init_state=None):
     """Absorb (C, 8) full chunks overwrite-mode from ``init_state`` (12,),
-    returning the (C, 4) capacity lanes after each permutation — the
-    sequential dependency chain of a long sponge, precomputed natively so
-    the jitted witness generator can batch the permutations (python
-    fallback via hashing.poseidon.permute_host)."""
+    returning ``(carries, final)``: the (C, 4) capacity lanes after each
+    permutation — the sequential dependency chain of a long sponge — and
+    the final full 12-lane state (the C++ kernel leaves it in its in-out
+    state arg). Precomputed natively so the jitted witness generator can
+    batch the permutations, and so chained duplex sponges (the in-circuit
+    Fiat-Shamir challenger) can be replayed host-side (python fallback
+    via hashing.poseidon.permute_host)."""
     chunks = np.ascontiguousarray(chunks, dtype=np.uint64).reshape(-1, 8)
     C = chunks.shape[0]
     state = np.zeros(12, dtype=np.uint64) if init_state is None else \
@@ -130,20 +133,23 @@ def sponge_carries(chunks: np.ndarray, init_state=None) -> np.ndarray:
     carries = np.zeros((C, 4), dtype=np.uint64)
     if lib is not None:
         lib.sponge_carries(_ptr(chunks), C, _ptr(state), _ptr(carries))
-        return carries
+        return carries, state
     from ..hashing import poseidon as HP
     s = [int(x) for x in state]
     for c in range(C):
         s[:8] = [int(x) for x in chunks[c]]
         s = HP.permute_host(s)
         carries[c] = s[8:12]
-    return carries
+    return carries, np.array(s, dtype=np.uint64)
 
 
 def permute(state) -> np.ndarray:
     s = np.ascontiguousarray(state, dtype=np.uint64).copy()
-    lib.poseidon_permute(_ptr(s))
-    return s
+    if lib is not None:
+        lib.poseidon_permute(_ptr(s))
+        return s
+    from ..hashing import poseidon as HP
+    return np.array(HP.permute_host([int(x) for x in s]), dtype=np.uint64)
 
 
 _load()
