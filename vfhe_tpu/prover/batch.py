@@ -38,10 +38,16 @@ class BatchedTree:
     level is one (B, L, 4) tensor."""
     leaf_data: jnp.ndarray        # (B, L, W)
     levels: list                  # [(B, L, 4), ..., (B, cap, 4)]
+    _caps_host: np.ndarray = None
 
     @property
     def caps(self) -> np.ndarray:
-        return np.asarray(self.levels[-1])
+        # fetched once — every np.asarray of a device array is a full
+        # tunnel round-trip (CLAUDE.md pitfall 5), and caps are read
+        # per-instance in the transcript and proof-assembly loops
+        if self._caps_host is None:
+            self._caps_host = np.asarray(self.levels[-1])
+        return self._caps_host
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
