@@ -363,7 +363,7 @@ def _pos1_pack(all30: jnp.ndarray):
 
 
 def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
-                     host: bool = False, pre: bool = False):
+                     host: bool = False, pre: bool = False, ops=None):
     """Compile the witness-generation jit. ``pre=True`` compiles the
     PRECOMPUTED-SPONGE variant: every ``sponge_b`` op expects its carry
     chain (the capacity lanes after each full-chunk permutation,
@@ -381,7 +381,7 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
     const_vals = np.array([v for v, t in sorted(b._const_map.items(),
                                                 key=lambda kv: kv[1])],
                           dtype=np.uint64)
-    ops = list(b._ops)
+    ops = list(b._ops) if ops is None else list(ops)
 
     def fn(w: jnp.ndarray) -> jnp.ndarray:
         w = w.at[const_idx].set(jnp.asarray(const_vals))
@@ -609,6 +609,79 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
     return host_fn
 
 
+# witness-op dataflow: op.data keys holding INPUT target indices vs
+# OUTPUT target indices (scalars like k0/tw/logb are values, not targets)
+_OP_IO = {
+    "arith": (("a", "b", "c"), ("out",)),
+    "select": (("b", "x", "y"), ("out",)),
+    "split": (("x",), ("bits", "aux")),
+    "splitd": (("x",), ("bits", "aux", "bal")),
+    "nttbf": (("u", "v"), ("o1", "o2")),
+    "lesum": (("bits",), ("out",)),
+    "poseidon": (("inp",), ("states", "sbox")),
+    "sponge_b": (("chunks", "init"), ("states", "sbox")),
+    "mwalk": (("dig0", "bits", "sibs"),
+              ("lefts", "rights", "states", "sbox")),
+    "ext_pows": (("x",), ("pows", "t11", "t01")),
+    "ext_horner": (("x", "terms"), ("accs", "t11", "t01", "u0", "u1")),
+    "eq": (("a", "b"), ("out", "m")),
+    "copy": (("src",), ("dst",)),
+    "ext_inv": (("x",), ("out",)),
+}
+
+
+def split_witness_ops(ops, num_targets: int, late_idx) -> tuple:
+    """Partition the witness-op ledger by taint from ``late_idx`` (the
+    inner-proof BODY targets, unknown until the previous step's proof is
+    fetched). Stage 1 = every op whose inputs never (transitively) touch
+    a late target — at the recursive step circuit that is the whole FHE
+    step core, since it reads only the inner proof's PUBLIC INPUTS,
+    whose values the native chain precomputes (ivc/fastpath). Stage 2 =
+    the in-circuit verifier ops over the proof body. Sequential taint
+    propagation keeps multi-write targets correct: once a late-dependent
+    op writes a target, every later reader is stage 2 too."""
+    tainted = np.zeros(num_targets + 1, dtype=bool)
+    tainted[np.asarray(late_idx, dtype=np.int64).ravel()] = True
+    s1, s2 = [], []
+    for op in ops:
+        ins, outs = _OP_IO[op.kind]
+        late = any(k in op.data and
+                   tainted[np.asarray(op.data[k], np.int64).ravel()].any()
+                   for k in ins)
+        (s2 if late else s1).append(op)
+        if late:
+            for k in outs:
+                if k in op.data:
+                    tainted[np.asarray(op.data[k], np.int64).ravel()] = True
+    return s1, s2
+
+
+def compile_witness_staged(b: CircuitBuilder, data: "CircuitData",
+                           late_idx) -> tuple:
+    """Two-stage witness evaluation for proof-body overlap
+    (verified_pbs_recursive): returns ``(stage1, stage2)``, both
+    host-run (CPU backend, numpy in/out) precomputed-sponge variants.
+    stage1(w0) runs every proof-body-independent op — it can execute for
+    step t+1 while step t's device phases are still in flight; stage2
+    picks up after the inner proof's values (and the phase-B sponge
+    carries) are scattered into the vector. stage1 ∘ scatter ∘ stage2 is
+    bit-identical to ``witness_fn_pre`` on the full assignment."""
+    s1, s2 = split_witness_ops(list(b._ops), data.num_targets, late_idx)
+    f1 = _compile_witness(b, data.num_targets, data.zero_slot,
+                          pre=True, ops=s1)
+    f2 = _compile_witness(b, data.num_targets, data.zero_slot,
+                          pre=True, ops=s2)
+
+    def on_cpu(jitted):
+        def g(w: np.ndarray) -> np.ndarray:
+            cpu = jax.devices("cpu")[0]
+            return np.asarray(jitted(jax.device_put(
+                np.ascontiguousarray(w), cpu)))
+        return g
+
+    return on_cpu(f1), on_cpu(f2)
+
+
 class PartialWitness:
     """Target -> value assignment (plonky2 ``PartialWitness`` equivalent).
 
@@ -622,6 +695,7 @@ class PartialWitness:
     def __init__(self):
         self._chunks: list = []       # (idx int64 array, val uint64 array)
         self.sponges_precomputed = False
+        self._sponges_done: set = set()   # resolved descriptor indices
 
     def set_target(self, t: int, value: int) -> None:
         self._chunks.append((np.array([int(t)], dtype=np.int64),
@@ -648,7 +722,8 @@ class PartialWitness:
             w[idx] = val
         return w
 
-    def precompute_sponges(self, data: CircuitData) -> None:
+    def precompute_sponges(self, data: CircuitData,
+                           strict: bool = True) -> None:
         """Resolve every sponge's sequential carry chain natively (C++
         host runtime) and assign it, so the prover can use the batched
         witness variant (``witness_fn_pre``).
@@ -666,7 +741,15 @@ class PartialWitness:
         public-input vector (the chain values are natively computable,
         ivc/fastpath.compute_chain). Standalone permutations with
         unresolvable inputs (e.g. over in-circuit select outputs) are
-        skipped — the jit recomputes every poseidon op regardless."""
+        skipped — the jit recomputes every poseidon op regardless.
+
+        ``strict=False`` also skips SPONGES whose inputs aren't known yet
+        (instead of asserting) and records what resolved, so a later call
+        RESUMES from there — the recursive overlap path runs a phase A
+        before the inner proof's body is known (its challenger-chain
+        sponges stay pending) and a phase B after assigning it.
+        ``sponges_precomputed`` flips true only once every sponge's carry
+        chain is resolved (the witness_fn_pre requirement)."""
         from .. import runtime
         w = self.initial_vector(data)
         known = np.zeros(data.num_targets + 1, dtype=bool)
@@ -681,23 +764,31 @@ class PartialWitness:
             known[targets] = True
             self.set_target_arr(targets, values)
 
-        for sp in data.sponges:
+        pending_sponges = 0
+        for si, sp in enumerate(data.sponges):
+            if si in self._sponges_done:
+                continue
             if sp.get("kind", "sponge") == "poseidon":
                 inp_t, out_t = sp["inp"], sp["out"]    # (L, 12) each
                 if not known[inp_t].all():
                     continue
                 for l in range(inp_t.shape[0]):
                     put(out_t[l], runtime.permute(w[inp_t[l]]))
+                self._sponges_done.add(si)
                 continue
             chunks_t = sp["chunks"]            # (L, C, 8) targets
             init_t = sp["init"]                # (L, 12) targets
             carr_t = sp["carries"]             # (L, C, 4) targets
-            assert known[chunks_t].all() and known[init_t].all(), \
-                "sponge inputs not assigned; cannot precompute carries"
+            if not (known[chunks_t].all() and known[init_t].all()):
+                assert not strict, \
+                    "sponge inputs not assigned; cannot precompute carries"
+                pending_sponges += 1
+                continue
             for l in range(chunks_t.shape[0]):
                 carries, final = runtime.sponge_carries(w[chunks_t[l]],
                                                         w[init_t[l]])
                 put(carr_t[l], carries)
                 if "final" in sp:
                     put(sp["final"][l], final)
-        self.sponges_precomputed = True
+            self._sponges_done.add(si)
+        self.sponges_precomputed = pending_sponges == 0

@@ -151,6 +151,19 @@ class ProofTarget:
                       for li in range(len(shape.fri_sizes))],
         )
 
+    def body_indices(self) -> np.ndarray:
+        """Every proof target EXCEPT the public inputs — the values that
+        only exist once the inner proof is actually proven. (The PIs are
+        natively predictable via ivc/fastpath.step_pi_values, so the
+        staged-witness split treats only the body as 'late'.)"""
+        parts = ([self.wires_cap, self.aux_cap, self.quotient_cap,
+                  self.open_z, self.open_gz, self.fri_final,
+                  np.array([self.pow_witness])] + self.fri_caps +
+                 self.main_leaves + self.main_sibs + self.fri_leaves +
+                 self.fri_sibs)
+        return np.concatenate([np.asarray(a, np.int64).ravel()
+                               for a in parts if np.asarray(a).size])
+
     def assign(self, pw, proof) -> None:
         """set_proof_with_pis_target equivalent (ivc_based_vpbs.rs:292,
         345): copy a native Proof's values onto the targets."""

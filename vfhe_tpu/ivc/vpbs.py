@@ -260,6 +260,10 @@ class RecStepCircuit:
     t_proof: object           # ProofTarget for the inner proof
     t_vk_cap: np.ndarray
     t_vk_digest: np.ndarray
+    # (stage1, stage2) host witness fns split at the proof-body taint
+    # boundary — lets step t+1's FHE-core witness run while step t's
+    # device phases are in flight (CLAUDE.md round-3 queue item 2)
+    staged_witness: tuple = None
 
 
 def build_recursive_step_circuit(b: CircuitBuilder, params: VpbsParams,
@@ -361,11 +365,13 @@ def get_recursive_step_circuit(params: VpbsParams,
         assert got == want, f"gate-set drift: {got} != {want}"
         log.info("recursive step circuit: %d rows used, h=%d, %d targets",
                  data.rows_used, data.h, data.num_targets)
+        from ..circuit.compile import compile_witness_staged
+        staged = compile_witness_staged(b, data, pt.body_indices())
         return RecStepCircuit(
             data=data, layout=lay, params=params, shape=shape,
             t_acc_init=acc_init, t_ggsw=ggsw, t_mask=mask,
             t_condition=condition, t_proof=pt, t_vk_cap=vk_cap,
-            t_vk_digest=vk_digest)
+            t_vk_digest=vk_digest, staged_witness=staged)
     raise RuntimeError("recursion fixpoint did not converge")
 
 
@@ -525,7 +531,16 @@ def verified_pbs_recursive(ct, testv, bsk, ksk, params: VpbsParams,
         if start_step:
             log.info("resuming recursive chain at step %d", start_step)
 
-    for step in range(start_step, p.num_steps):
+    # staged-witness overlap: everything about step t's witness that
+    # doesn't need the inner proof's BODY — assignments, the natively
+    # predicted inner PIs, phase-A sponge carries, and the stage-1 (FHE
+    # core) CPU evaluation — runs on a worker thread while step t-1's
+    # device phases are still in flight. Only the in-circuit-verifier
+    # ops (stage 2) wait for the actual proof.
+    from concurrent.futures import ThreadPoolExecutor
+    stage1_fn, stage2_fn = sc.staged_witness
+
+    def prep_stage1(step: int):
         pw = PartialWitness()
         sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
         if step == 0:
@@ -537,41 +552,72 @@ def verified_pbs_recursive(ct, testv, bsk, ksk, params: VpbsParams,
         sc.t_ggsw.assign(pw, ggsw_vals)
         pw.set_target(sc.t_mask, mask_val)
         pw.set_bool_target(sc.t_condition, step > 0)
+        pred_inner_pis = None
         if step == 0:
             sc.t_proof.assign_dummy(pw)
         else:
-            sc.t_proof.assign(pw, prev)
+            # the inner proof's PIs are exactly step t-1's PI vector,
+            # which the native chain already knows (fastpath)
+            pred_inner_pis = step_pi_values(
+                step - 1, p, lay, acc_init_vals, accs, bsk_digs, lwe_digs,
+                vk_pis=vk_pis)
+            pw.set_target_arr(sc.t_proof.public_inputs, pred_inner_pis)
         pw.set_target_arr(sc.t_vk_cap, vk.preproc_cap)
         pw.set_target_arr(sc.t_vk_digest, vk.circuit_digest)
         pw.set_target_arr(sc.data.pi_targets, step_pi_values(
             step, p, lay, acc_init_vals, accs, bsk_digs, lwe_digs,
             vk_pis=vk_pis))
-        pw.precompute_sponges(sc.data)
+        pw.precompute_sponges(sc.data, strict=False)      # phase A
+        n_chunks = len(pw._chunks)
+        w1 = stage1_fn(pw.initial_vector(sc.data))
+        return pw, w1, n_chunks, pred_inner_pis
 
-        tt = TimingTree(f"prove step {step}")
-        proof = prove(sc.data, pw, timing=tt)
-        tt.done()
-        prev = proof
-        if checkpoint_dir:
-            path = os.path.join(checkpoint_dir, f"rstep_{step}.bin")
-            with open(path + ".tmp", "wb") as f:
-                f.write(proof_to_bytes(proof))
-            os.replace(path + ".tmp", path)
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(prep_stage1, start_step)
+        for step in range(start_step, p.num_steps):
+            tt = TimingTree(f"prove step {step}")
+            with tt.scope("witness stage2"):
+                pw, w1, n1, pred_pis = fut.result()
+                if step > 0:
+                    assert np.array_equal(
+                        np.asarray(prev.public_inputs, np.uint64),
+                        np.asarray(pred_pis, np.uint64)), \
+                        "native chain diverged from the proven PIs"
+                    sc.t_proof.assign(pw, prev)           # the body
+                    pw.precompute_sponges(sc.data, strict=False)  # phase B
+                assert pw.sponges_precomputed
+                for idx, val in pw._chunks[n1:]:
+                    w1[idx] = val
+                w = stage2_fn(w1)
+            if step + 1 < p.num_steps:
+                fut = ex.submit(prep_stage1, step + 1)
+            proof = prove(sc.data, pw, timing=tt, witness=w)
+            tt.done()
+            prev = proof
+            if checkpoint_dir:
+                path = os.path.join(checkpoint_dir, f"rstep_{step}.bin")
+                with open(path + ".tmp", "wb") as f:
+                    f.write(proof_to_bytes(proof))
+                os.replace(path + ".tmp", path)
 
-        if debug_glwe_key is not None:
-            if step == 0:
-                testv_check = cpoly.left_shift(testv_check,
-                                               int(ct_switched[p.n]))
-            elif step <= p.n:
-                sk = int(np.asarray(debug_lwe_key)[step - 1])
-                testv_check = cpoly.right_shift(
-                    testv_check, int(ct_switched[step - 1]) * sk)
-            acc = jnp.asarray(np.asarray(_pis(prev, lay.latest_acc),
-                                         dtype=np.uint64).reshape(p.K, p.N))
-            key = debug_ksk_key if step == p.n + 1 else debug_glwe_key
-            log.info("step %d avg error: %.3e  max error: %.3e", step,
-                     cglwe.get_avg_error(acc, key, testv_check),
-                     cglwe.get_max_error(acc, key, testv_check))
+            if debug_glwe_key is not None:
+                if step == 0:
+                    testv_check = cpoly.left_shift(testv_check,
+                                                   int(ct_switched[p.n]))
+                elif step <= p.n:
+                    sk = int(np.asarray(debug_lwe_key)[step - 1])
+                    testv_check = cpoly.right_shift(
+                        testv_check, int(ct_switched[step - 1]) * sk)
+                acc = jnp.asarray(np.asarray(
+                    _pis(prev, lay.latest_acc),
+                    dtype=np.uint64).reshape(p.K, p.N))
+                key = debug_ksk_key if step == p.n + 1 else debug_glwe_key
+                log.info("step %d avg error: %.3e  max error: %.3e", step,
+                         cglwe.get_avg_error(acc, key, testv_check),
+                         cglwe.get_max_error(acc, key, testv_check))
+    finally:
+        ex.shutdown(wait=True, cancel_futures=True)
 
     out = np.asarray(_pis(prev, lay.latest_acc),
                      dtype=np.uint64).reshape(p.K, p.N)

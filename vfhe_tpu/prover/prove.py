@@ -405,7 +405,12 @@ def _make_codeword_fn():
 # prove
 # ---------------------------------------------------------------------------
 
-def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
+def prove(data: CircuitData, pw: PartialWitness, timing=None,
+          witness=None) -> Proof:
+    """``witness``: optionally a FULLY evaluated target-value vector
+    (num_targets+1,) — the staged-witness overlap path
+    (verified_pbs_recursive) evaluates it on the CPU backend while the
+    previous step's device phases are in flight and hands it in here."""
     from ..utils.timing import TimingTree
     tt = timing if timing is not None else TimingTree("prove")
     cfg = data.config
@@ -416,9 +421,12 @@ def prove(data: CircuitData, pw: PartialWitness, timing=None) -> Proof:
     vk = pre["vk"]
 
     with tt.scope("witness"):
-        wfn = data.witness_fn_pre if pw.sponges_precomputed \
-            else data.witness_fn
-        w = wfn(jnp.asarray(pw.initial_vector(data)))
+        if witness is not None:
+            w = jnp.asarray(witness)
+        else:
+            wfn = data.witness_fn_pre if pw.sponges_precomputed \
+                else data.witness_fn
+            w = wfn(jnp.asarray(pw.initial_vector(data)))
         trace = w[jnp.asarray(data.wire_index)]          # (h, W)
         pis = np.asarray(w[jnp.asarray(data.pi_targets)]) \
             if len(data.pi_targets) else np.zeros(0, np.uint64)
