@@ -58,3 +58,23 @@ def test_batch_all_verify(circuit):
     for i, p in enumerate(proofs):
         verify(vk, p)
         assert int(p.public_inputs[2]) == i * (i + 1) + 5
+
+
+def test_batch_precomputed_witness(circuit):
+    """prove_batch(witness=) — the staged-overlap entry used by the
+    recursive batch prover — is bit-identical to in-call witness gen."""
+    import jax.numpy as jnp
+    data, x, y = circuit
+    pws = [_pw(x, y, 3, 7), _pw(x, y, 10, 11)]
+    ws = []
+    for pw in pws:
+        w = np.asarray(data.witness_fn(jnp.asarray(
+            pw.initial_vector(data))))
+        ws.append(w)
+    got = prove_batch(data, pws, witness=np.stack(ws))
+    ref = prove_batch(data, pws)
+    for g, r in zip(got, ref):
+        assert (g.public_inputs == r.public_inputs).all()
+        assert (g.wires_cap == r.wires_cap).all()
+        assert g.pow_witness == r.pow_witness
+        assert (g.fri_final_coeffs == r.fri_final_coeffs).all()

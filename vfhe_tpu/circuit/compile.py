@@ -677,6 +677,7 @@ def compile_witness_staged(b: CircuitBuilder, data: "CircuitData",
             cpu = jax.devices("cpu")[0]
             return np.asarray(jitted(jax.device_put(
                 np.ascontiguousarray(w), cpu)))
+        g.inner = jitted        # raw per-instance CPU jit (batch callers)
         return g
 
     return on_cpu(f1), on_cpu(f2)

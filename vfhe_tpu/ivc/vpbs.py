@@ -703,15 +703,22 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk, params: VpbsParams,
     natives = [compute_chain(cts[b], testv, bsk, ksk, p,
                              bsk_digs=bsk_digs_shared) for b in range(B)]
 
-    prevs = [None] * B
-    for step in range(p.num_steps):
+    # staged-witness overlap (same scheme as verified_pbs_recursive):
+    # stage 1 of step t+1's B witnesses — assignments, the natively
+    # predicted inner PIs, phase-A sponges, and the FHE-core ops — runs
+    # on a prefetch thread while step t's device phases are in flight;
+    # only the inner-proof body + phase-B sponges + stage-2 ops wait.
+    from concurrent.futures import ThreadPoolExecutor
+    stage1_fn, stage2_fn = sc.staged_witness
+
+    def prep_stage1(step: int) -> list:
         if step == 0:
             ggsw_vals = dummy
         elif step <= p.n:
             ggsw_vals = np.asarray(bsk[step - 1])
         else:
             ggsw_vals = np.asarray(ksk)
-        pws = []
+        out = []
         for b in range(B):
             pw = PartialWitness()
             sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
@@ -720,21 +727,62 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk, params: VpbsParams,
                         else int(cts[b, step - 1]) if step <= p.n else 0)
             pw.set_target(sc.t_mask, mask_val)
             pw.set_bool_target(sc.t_condition, step > 0)
+            n_accs, n_bskd, n_lwed = natives[b]
+            pred = None
             if step == 0:
                 sc.t_proof.assign_dummy(pw)
             else:
-                sc.t_proof.assign(pw, prevs[b])
+                # the inner proof's PIs are step t-1's PI vector, which
+                # the native chain already knows (fastpath)
+                pred = step_pi_values(step - 1, p, sc.layout,
+                                      acc_init_vals, n_accs, n_bskd,
+                                      n_lwed, vk_pis=vk_pis)
+                pw.set_target_arr(sc.t_proof.public_inputs, pred)
             pw.set_target_arr(sc.t_vk_cap, vk.preproc_cap)
             pw.set_target_arr(sc.t_vk_digest, vk.circuit_digest)
-            n_accs, n_bskd, n_lwed = natives[b]
             pw.set_target_arr(sc.data.pi_targets, step_pi_values(
                 step, p, sc.layout, acc_init_vals, n_accs, n_bskd, n_lwed,
                 vk_pis=vk_pis))
-            pw.precompute_sponges(sc.data)
-            pws.append(pw)
-        tt = TimingTree(f"prove rec step {step} (batch {B})")
-        prevs = prove_batch(sc.data, pws, timing=tt)
-        tt.done()
+            pw.precompute_sponges(sc.data, strict=False)       # phase A
+            n1 = len(pw._chunks)
+            w1 = stage1_fn(pw.initial_vector(sc.data))
+            out.append((pw, w1, n1, pred))
+        return out
+
+    prevs = [None] * B
+    prefetch = ThreadPoolExecutor(max_workers=1)
+    pool = ThreadPoolExecutor(max_workers=3)    # per-instance stage 2
+    try:
+        fut = prefetch.submit(prep_stage1, 0)
+        for step in range(p.num_steps):
+            tt = TimingTree(f"prove rec step {step} (batch {B})")
+            with tt.scope("witness stage2"):
+                preps = fut.result()
+
+                def finish(args):
+                    (pw, w1, n1, pred), prev = args
+                    if pred is not None:
+                        assert np.array_equal(
+                            np.asarray(prev.public_inputs, np.uint64),
+                            np.asarray(pred, np.uint64)), \
+                            "native chain diverged from the proven PIs"
+                        sc.t_proof.assign(pw, prev)        # the body
+                        pw.precompute_sponges(sc.data, strict=False)  # B
+                    assert pw.sponges_precomputed
+                    for idx, val in pw._chunks[n1:]:
+                        w1[idx] = val
+                    return pw, stage2_fn(w1)
+
+                done = list(pool.map(finish, zip(preps, prevs)))
+                pws = [d[0] for d in done]
+                W = np.stack([d[1] for d in done])
+            if step + 1 < p.num_steps:
+                fut = prefetch.submit(prep_stage1, step + 1)
+            prevs = prove_batch(sc.data, pws, timing=tt, witness=W)
+            tt.done()
+    finally:
+        prefetch.shutdown(wait=True, cancel_futures=True)
+        pool.shutdown(wait=True)
 
     outs = np.stack([_pis(prev, sc.layout.latest_acc).reshape(p.K, p.N)
                      for prev in prevs])

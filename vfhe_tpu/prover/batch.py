@@ -102,11 +102,16 @@ def _batched_fns(data_id: int):
 
 
 def prove_batch(data: CircuitData, pws: list, timing=None,
-                mesh=None) -> list:
+                mesh=None, witness=None) -> list:
     """``mesh``: optional jax.sharding.Mesh — the batch axis is placed on
     the mesh's ``dp`` axis and every device stage (witness gen through
     FRI folds and query-opening gathers) runs SPMD over it; transcripts
-    stay on the host per instance, as always."""
+    stay on the host per instance, as always.
+
+    ``witness``: optional precomputed (B, num_targets+1) full witness
+    array — skips witness evaluation entirely (the staged-witness
+    overlap path of ``verified_pbs_recursive_batch``, where stage 1 runs
+    ahead of the previous step's device phases)."""
     tt = timing if timing is not None else TimingTree("prove_batch")
     cfg = data.config
     h = data.h
@@ -142,33 +147,42 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
         cache["openings"] = jax.jit(jax.vmap(eval_poly_ext, in_axes=(0, 0)))
 
     with tt.scope("witness"):
-        host_mode = hasattr(data.witness_fn, "inner")
-        idx0 = pws[0].assigned_indices()
-        same_layout = not host_mode and mesh is None and all(
-            np.array_equal(idx0, pw.assigned_indices()) for pw in pws[1:])
-        if same_layout:
-            # ship only the assigned values and scatter on device — the
-            # full (B, num_targets) initial vector is ~99% zeros and the
-            # TPU tunnel pays per byte (CLAUDE.md 'per-step host gap')
-            vals = np.stack([np.concatenate([c[1] for c in pw._chunks])
-                             for pw in pws])
-            if "w0_scatter" not in cache:
-                T1 = data.num_targets + 1
-
-                @jax.jit
-                def w0_scatter(vals_d, idx_d):
-                    z = jnp.zeros((vals_d.shape[0], T1), jnp.uint64)
-                    return z.at[:, idx_d].set(vals_d)
-                cache["w0_scatter"] = w0_scatter
-            w0 = cache["w0_scatter"](jnp.asarray(vals), jnp.asarray(idx0))
+        if witness is not None:
+            w = jnp.asarray(np.ascontiguousarray(witness))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                w = jax.device_put(w, NamedSharding(mesh, P("dp", None)))
         else:
-            w0 = jnp.asarray(np.stack([pw.initial_vector(data)
-                                       for pw in pws]))
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            w0 = jax.device_put(w0, NamedSharding(mesh, P("dp", None)))
-        all_pre = all(pw.sponges_precomputed for pw in pws)
-        w = cache["witness_pre" if all_pre else "witness"](w0)
+            host_mode = hasattr(data.witness_fn, "inner")
+            idx0 = pws[0].assigned_indices()
+            same_layout = not host_mode and mesh is None and all(
+                np.array_equal(idx0, pw.assigned_indices())
+                for pw in pws[1:])
+            if same_layout:
+                # ship only the assigned values and scatter on device —
+                # the full (B, num_targets) initial vector is ~99% zeros
+                # and the TPU tunnel pays per byte (CLAUDE.md 'per-step
+                # host gap')
+                vals = np.stack([np.concatenate([c[1] for c in pw._chunks])
+                                 for pw in pws])
+                if "w0_scatter" not in cache:
+                    T1 = data.num_targets + 1
+
+                    @jax.jit
+                    def w0_scatter(vals_d, idx_d):
+                        z = jnp.zeros((vals_d.shape[0], T1), jnp.uint64)
+                        return z.at[:, idx_d].set(vals_d)
+                    cache["w0_scatter"] = w0_scatter
+                w0 = cache["w0_scatter"](jnp.asarray(vals),
+                                         jnp.asarray(idx0))
+            else:
+                w0 = jnp.asarray(np.stack([pw.initial_vector(data)
+                                           for pw in pws]))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                w0 = jax.device_put(w0, NamedSharding(mesh, P("dp", None)))
+            all_pre = all(pw.sponges_precomputed for pw in pws)
+            w = cache["witness_pre" if all_pre else "witness"](w0)
         trace = w[:, jnp.asarray(data.wire_index)]       # (B, h, W)
         pis = np.asarray(w[:, jnp.asarray(data.pi_targets)]) \
             if len(data.pi_targets) else np.zeros((B, 0), np.uint64)
