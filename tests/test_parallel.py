@@ -79,9 +79,12 @@ def test_dist_ntt_roundtrip(rng):
 def test_prove_batch_on_mesh(rng):
     """Full proof pipeline (witness -> FRI -> PoW -> query openings) with
     the batch on the dp axis; proofs must verify and be bit-identical to
-    the unsharded prover."""
+    the unsharded prover — and EVERY device stage must actually be
+    dp-sharded (CHECK_SHARDING asserts each pin; the stage list is
+    checked so a silently re-gathering regression fails here)."""
     from vfhe_tpu.circuit import CircuitBuilder, PartialWitness, TEST_CONFIG
     from vfhe_tpu.prover import preprocess, verify
+    from vfhe_tpu.prover import batch as pbatch
     from vfhe_tpu.prover.batch import prove_batch
 
     b = CircuitBuilder(TEST_CONFIG)
@@ -99,8 +102,18 @@ def test_prove_batch_on_mesh(rng):
         pw.set_target(y, 7 + i)
         pws.append(pw)
     mesh = make_mesh(4)
-    with mesh:
-        proofs = prove_batch(data, pws, mesh=mesh)
+    pbatch.CHECK_SHARDING = True
+    pbatch.PINNED_STAGES.clear()
+    try:
+        with mesh:
+            proofs = prove_batch(data, pws, mesh=mesh)
+    finally:
+        pbatch.CHECK_SHARDING = False
+    missing = {"witness", "trace", "wire_coeffs", "wire_lde",
+               "wires_leaves", "aux_coeffs", "aux_lde", "aux_leaves",
+               "quot_coeffs", "quot_lde", "quot_leaves", "fri_codeword",
+               "fri_leaves", "fri_fold"} - set(pbatch.PINNED_STAGES)
+    assert not missing, f"stages not dp-sharded: {missing}"
     vk = preprocess(data)["vk"]
     for i, p in enumerate(proofs):
         verify(vk, p)

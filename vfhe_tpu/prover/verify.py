@@ -11,10 +11,14 @@ dispatching per-element device kernels for one point.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..field import goldilocks as gl
+from ..field import extension as ee
 from ..field import host as hf
 from ..hashing import poseidon as HP
 from . import fri, merkle
@@ -28,12 +32,65 @@ class VerificationError(Exception):
     pass
 
 
+def _mod_sum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Modular sum of canonical values along ``axis`` without per-element
+    reduction: 32-bit-split accumulation keeps the u64 sums exact for up
+    to 2^32 terms, then one mul folds the high half back."""
+    lo = jnp.sum(x & jnp.uint64(0xFFFF_FFFF), axis=axis)
+    hi = jnp.sum(x >> jnp.uint64(32), axis=axis)
+    return gl.add(gl.mul(lo, jnp.uint64(1)),        # reduce < p
+                  gl.mul(hi, jnp.uint64((1 << 32) % gl.P)))
+
+
+def _g_at_points_impl(p_vals, open_z, open_gz, zeta, gzeta, alpha, xs):
+    """G(x) at all query points of one proof in one fused kernel:
+    the batched form of ``_g_at_point`` (host-scalar variant kept below
+    for reference/debug). p_vals (Q, P) base-field leaf values,
+    open_z/open_gz (P, 2), zeta/gzeta/alpha (2,), xs (Q,) -> (Q, 2)."""
+    Q, P_ = p_vals.shape
+
+    def step(acc, _):
+        return ee.mul(acc, alpha), acc
+    _, apows = jax.lax.scan(step, ee.scalar(1), None, length=P_ + 1)
+
+    pe = jnp.stack([p_vals, jnp.zeros_like(p_vals)], axis=-1)  # (Q,P,2)
+    tz = ee.mul(apows[None, :P_], ee.sub(pe, open_z[None]))
+    tgz = ee.mul(apows[None, :P_], ee.sub(pe, open_gz[None]))
+    bz = _mod_sum(tz, axis=1)                                  # (Q, 2)
+    bgz = _mod_sum(tgz, axis=1)
+    xe = jnp.stack([xs, jnp.zeros_like(xs)], axis=-1)          # (Q, 2)
+    return ee.add(ee.mul(bz, ee.inv(ee.sub(xe, zeta))),
+                  ee.mul(apows[P_], ee.mul(bgz,
+                                           ee.inv(ee.sub(xe, gzeta)))))
+
+
+_g_at_points_jit = jax.jit(_g_at_points_impl)
+
+
+def _g_at_points(p_vals, open_z, open_gz, zeta, gzeta, alpha, xs):
+    """Run the batched G(x) kernel on the in-process CPU backend (the
+    verifier is host-side; a per-proof device dispatch over the TPU
+    tunnel would dominate the whole verification)."""
+    cpu = jax.devices("cpu")[0]
+    # zeta/gzeta/alpha are host-int tuples with components >= 2^63:
+    # convert via an explicit uint64 numpy array (a bare np.array() of
+    # big python ints silently lands in object/float dtype)
+    put = lambda a: jax.device_put(
+        jnp.asarray(np.asarray(a, dtype=np.uint64)), cpu)
+    return np.asarray(_g_at_points_jit(
+        put(p_vals), put(open_z), put(open_gz), put(zeta), put(gzeta),
+        put(alpha), put(xs)))
+
+
 def _ensure(cond: bool, msg: str) -> None:
     if not cond:
         raise VerificationError(msg)
 
 
-def verify(vk: VerifierKey, proof: Proof) -> None:
+def verify(vk: VerifierKey, proof: Proof, pi_hash=None) -> None:
+    """``pi_hash``: optionally precomputed Poseidon hash of the PIs —
+    chain verifiers (verify_pbs) hash all proofs' PIs in ONE batched
+    call instead of one device dispatch per proof."""
     cfg = vk.config
     h = vk.h
     n_lde = h << cfg.rate_bits
@@ -44,8 +101,9 @@ def verify(vk: VerifierKey, proof: Proof) -> None:
     per_ch = 1 + n_chunks
 
     _ensure(len(proof.public_inputs) == vk.num_pis, "wrong number of PIs")
-    pi_hash = np.asarray(HP.hash_no_pad_jit(jnp.asarray(
-        proof.public_inputs))) if vk.num_pis else np.zeros(4, np.uint64)
+    if pi_hash is None:
+        pi_hash = np.asarray(HP.hash_no_pad_jit(jnp.asarray(
+            proof.public_inputs))) if vk.num_pis else np.zeros(4, np.uint64)
 
     # ---- transcript replay ---------------------------------------------
     ch = Challenger()
@@ -162,9 +220,9 @@ def verify(vk: VerifierKey, proof: Proof) -> None:
     open_z_all = np.concatenate([o.at_zeta for o in proof.openings])
     open_gz_all = np.concatenate([o.at_gzeta for o in proof.openings])
 
-    for qi, (q, qopen, fround) in enumerate(zip(
-            proof.query_indices, proof.query_openings,
-            proof.fri_query_rounds)):
+    all_leaves = []
+    for qi, (q, qopen) in enumerate(zip(proof.query_indices,
+                                        proof.query_openings)):
         q = int(q)
         leaf_all = []
         for oi, (leaf, sibs, cap) in enumerate(zip(qopen.leaves,
@@ -174,14 +232,19 @@ def verify(vk: VerifierKey, proof: Proof) -> None:
             leaf_all.append(np.asarray(leaf, dtype=np.uint64))
         p_vals = np.concatenate(leaf_all)
         _ensure(p_vals.size == num_polys, "query leaf width mismatch")
+        all_leaves.append(p_vals)
 
-        x = gl.h_mul(COSET_SHIFT,
-                     gl.h_pow(gl.primitive_root_of_unity(n_lde), q))
-        g_val = _g_at_point(p_vals, x, open_z_all, open_gz_all, zeta, gzeta,
-                            fri_alpha)
-        _ensure(fri.verify_query(fround, proof.fri_caps, q, g_val, fbetas,
-                                 sizes, shifts, proof.fri_final_coeffs,
-                                 n_lde, COSET_SHIFT),
+    g_lde = gl.primitive_root_of_unity(n_lde)
+    xs = np.array([gl.h_mul(COSET_SHIFT, gl.h_pow(g_lde, int(q)))
+                   for q in proof.query_indices], dtype=np.uint64)
+    g_vals = _g_at_points(np.stack(all_leaves), open_z_all, open_gz_all,
+                          zeta, gzeta, fri_alpha, xs)
+    for qi, (q, fround) in enumerate(zip(proof.query_indices,
+                                         proof.fri_query_rounds)):
+        _ensure(fri.verify_query(fround, proof.fri_caps, int(q),
+                                 g_vals[qi], fbetas, sizes, shifts,
+                                 proof.fri_final_coeffs, n_lde,
+                                 COSET_SHIFT),
                 f"query {qi}: FRI fold check failed")
 
 
