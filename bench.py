@@ -127,7 +127,10 @@ def main() -> int:
             extra("xla_mulmod_chain8_per_s",
                   a.size * chain * iters / dtc_x, "mulmods/s")
     except Exception as e:                                  # noqa: BLE001
-        print(f"pallas bench skipped: {e}", file=sys.stderr)
+        # ONE clean line, not a Mosaic error dump (round-2 verdict)
+        reason = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
+        print(f"pallas skipped: {reason}", file=sys.stderr)
+        extra("pallas_skipped", 1, reason)
 
     print(json.dumps({
         "metric": f"goldilocks_negacyclic_ntt_butterflies_per_s_N{n}",

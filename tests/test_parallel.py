@@ -101,7 +101,7 @@ def test_prove_batch_on_mesh(rng):
         pw.set_target(x, 3 + i)
         pw.set_target(y, 7 + i)
         pws.append(pw)
-    mesh = make_mesh(4)
+    mesh = make_mesh(4, col_parallel=2)     # both axes: dp=2, col=2
     pbatch.CHECK_SHARDING = True
     pbatch.PINNED_STAGES.clear()
     try:
@@ -114,6 +114,9 @@ def test_prove_batch_on_mesh(rng):
                "quot_coeffs", "quot_lde", "quot_leaves", "fri_codeword",
                "fri_leaves", "fri_fold"} - set(pbatch.PINNED_STAGES)
     assert not missing, f"stages not dp-sharded: {missing}"
+    col_missing = {"wire_lde+col", "wires_leaves+col", "fri_codeword+col",
+                   "fri_fold+col"} - set(pbatch.PINNED_STAGES)
+    assert not col_missing, f"stages not col-sharded: {col_missing}"
     vk = preprocess(data)["vk"]
     for i, p in enumerate(proofs):
         verify(vk, p)

@@ -119,7 +119,10 @@ def _mulmod_call(ab_lo_hi, _unused=None, chain: int = 1,
     rows = shape[0]
     blk = min(rows, 256)
     grid = (rows // blk,)
-    spec = pl.BlockSpec((blk, shape[1]), lambda i: (i, 0))
+    # i*0, not the literal 0: under jax_enable_x64 a literal traces as
+    # int64 while the program id is int32, and Mosaic rejects the mixed
+    # (i32, i64) index-map return ("failed to legalize func.return")
+    spec = pl.BlockSpec((blk, shape[1]), lambda i: (i, i * 0))
     out = pl.pallas_call(
         _make_kernel(chain),
         out_shape=(jax.ShapeDtypeStruct(shape, jnp.uint32),

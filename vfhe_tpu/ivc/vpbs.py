@@ -902,6 +902,46 @@ def verified_pbs_batch(cts, testv, bsk, ksk, params: VpbsParams,
     return jnp.asarray(outs), chains, sc
 
 
+def make_step_witness(sc: "StepCircuit", step: int, ct, testv, bsk, ksk,
+                      natives=None) -> PartialWitness:
+    """One step's full PartialWitness for the explicit chain, values from
+    the native fastpath chain — lets the dryrun / single-proof sharding
+    paths prove a REAL step circuit without driving the whole chain."""
+    from .fastpath import compute_chain, step_pi_values
+    p = sc.params
+    lay = sc.layout
+    ct = np.asarray(ct, dtype=np.uint64)
+    if natives is None:
+        natives = compute_chain(ct, testv, bsk, ksk, p)
+    n_accs, n_bskd, n_lwed = natives
+    acc_init_vals = np.concatenate(
+        [np.zeros((p.K - 1) * p.N, np.uint64), np.asarray(testv)])
+    pw = PartialWitness()
+    sc.t_acc_init.assign(pw, acc_init_vals.reshape(p.K, p.N))
+    pw.set_target(sc.t_counter, step + 1)
+    if step == 0:
+        ggsw_vals = np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL))
+        mask_val = int(ct[p.n])
+        hash_ins = (np.zeros(4, np.uint64), np.zeros(4, np.uint64))
+    elif step <= p.n:
+        ggsw_vals, mask_val = np.asarray(bsk[step - 1]), int(ct[step - 1])
+        hash_ins = (np.asarray(n_bskd[step - 1], dtype=np.uint64),
+                    np.asarray(n_lwed[step - 1], dtype=np.uint64))
+    else:
+        ggsw_vals, mask_val = np.asarray(ksk), 0
+        hash_ins = (np.asarray(n_bskd[step - 1], dtype=np.uint64),
+                    np.asarray(n_lwed[step - 1], dtype=np.uint64))
+    sc.t_ggsw.assign(pw, ggsw_vals)
+    pw.set_target(sc.t_mask, mask_val)
+    sc.t_acc_in.assign(pw, np.asarray(n_accs[step]))
+    pw.set_target_arr(sc.t_bsk_hash_in, hash_ins[0])
+    pw.set_target_arr(sc.t_lwe_hash_in, hash_ins[1])
+    pw.set_target_arr(sc.data.pi_targets, step_pi_values(
+        step, p, lay, acc_init_vals, n_accs, n_bskd, n_lwed))
+    pw.precompute_sponges(sc.data)
+    return pw
+
+
 def verify_hash_output(hash_data, claimed) -> bool:
     """Native recomputation of an absorb chain h = H(h || block)
     (ref: ivc_based_vpbs.rs:64-78). Uses the C++ host runtime when blocks

@@ -129,19 +129,39 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
     vk = pre["vk"]
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        col_n = mesh.shape.get("col", 1)
 
-        def pin(x, stage: str):
-            # ENFORCE (not hope for) batch-over-dp at every device stage
+        def pin(x, stage: str, col_axis=None):
+            # ENFORCE (not hope for) batch-over-dp at every device
+            # stage; ``col_axis`` (an axis or a preference-ordered
+            # tuple of axes) additionally shards the stage's LONG axis
+            # — wire columns when they divide (zero-comm per-column
+            # FFTs), else the LDE-domain axis, which is always a power
+            # of two — over the col mesh axis, so one large proof
+            # spans devices; XLA inserts the transpose/fold
+            # collectives (the all-to-alls) on its own
             spec = [None] * x.ndim
             spec[0] = "dp"
+            use_col = None
+            if col_axis is not None and col_n > 1:
+                axes = (col_axis,) if isinstance(col_axis, int) \
+                    else col_axis
+                use_col = next((a for a in axes
+                                if x.shape[a] % col_n == 0), None)
+            if use_col is not None:
+                spec[use_col] = "col"
             x = jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(*spec)))
             if CHECK_SHARDING:
                 assert x.sharding.spec[:1] == ("dp",), (stage, x.sharding)
+                if use_col is not None:
+                    assert x.sharding.spec[use_col] == "col", \
+                        (stage, x.sharding)
+                    PINNED_STAGES.append(stage + "+col")
                 PINNED_STAGES.append(stage)
             return x
     else:
-        def pin(x, stage: str):
+        def pin(x, stage: str, col_axis=None):
             return x
     cache = _batched_fns(id(data))
     if "witness" not in cache:
@@ -209,7 +229,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
             all_pre = all(pw.sponges_precomputed for pw in pws)
             w = cache["witness_pre" if all_pre else "witness"](w0)
         w = pin(w, "witness")
-        trace = pin(w[:, jnp.asarray(data.wire_index)], "trace")  # (B, h, W)
+        trace = pin(w[:, jnp.asarray(data.wire_index)], "trace",
+                    col_axis=2)                              # (B, h, W)
         pis = np.asarray(w[:, jnp.asarray(data.pi_targets)]) \
             if len(data.pi_targets) else np.zeros((B, 0), np.uint64)
         pi_hash = np.asarray(HP.hash_no_pad_jit(jnp.asarray(pis))) \
@@ -217,10 +238,12 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
 
     with tt.scope("wires commit"):
         wires_cols = jnp.swapaxes(trace, 1, 2)           # (B, W, h)
-        wire_coeffs = pin(ifft(wires_cols), "wire_coeffs")
-        wire_lde = pin(coset_lde(wire_coeffs, cfg.rate_bits), "wire_lde")
+        wire_coeffs = pin(ifft(wires_cols), "wire_coeffs", col_axis=(1, 2))
+        wire_lde = pin(coset_lde(wire_coeffs, cfg.rate_bits), "wire_lde",
+                       col_axis=(1, 2))
         wires_tree = batched_tree(pin(jnp.swapaxes(wire_lde, 1, 2),
-                                      "wires_leaves"), cfg.cap_height)
+                                      "wires_leaves", col_axis=1),
+                                  cfg.cap_height)
 
     chs = [Challenger() for _ in range(B)]
     for b in range(B):
@@ -234,10 +257,12 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
         aux_cols = cache["perm"](trace[:, :, :cfg.num_routed_wires],
                                  jnp.asarray(betas), jnp.asarray(gammas),
                                  pre["tables"])
-        aux_coeffs = pin(ifft(aux_cols), "aux_coeffs")
-        aux_lde = pin(coset_lde(aux_coeffs, cfg.rate_bits), "aux_lde")
+        aux_coeffs = pin(ifft(aux_cols), "aux_coeffs", col_axis=(1, 2))
+        aux_lde = pin(coset_lde(aux_coeffs, cfg.rate_bits), "aux_lde",
+                      col_axis=(1, 2))
         aux_tree = batched_tree(pin(jnp.swapaxes(aux_lde, 1, 2),
-                                    "aux_leaves"), cfg.cap_height)
+                                    "aux_leaves", col_axis=1),
+                                cfg.cap_height)
     for b in range(B):
         chs[b].observe_cap(aux_tree.caps[b])
     alphas = np.stack([ch.sample_array(cfg.num_challenges) for ch in chs])
@@ -246,10 +271,12 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
         quotient_cols = cache["quotient"](
             wire_lde, aux_lde, jnp.asarray(pi_hash), jnp.asarray(betas),
             jnp.asarray(gammas), jnp.asarray(alphas), pre["tables"])
-        quot_coeffs = pin(ifft(quotient_cols), "quot_coeffs")
-        quot_lde = pin(coset_lde(quot_coeffs, cfg.rate_bits), "quot_lde")
+        quot_coeffs = pin(ifft(quotient_cols), "quot_coeffs", col_axis=(1, 2))
+        quot_lde = pin(coset_lde(quot_coeffs, cfg.rate_bits), "quot_lde",
+                       col_axis=(1, 2))
         quot_tree = batched_tree(pin(jnp.swapaxes(quot_lde, 1, 2),
-                                     "quot_leaves"), cfg.cap_height)
+                                     "quot_leaves", col_axis=1),
+                                 cfg.cap_height)
     for b in range(B):
         chs[b].observe_cap(quot_tree.caps[b])
 
@@ -258,9 +285,10 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
     gzetas = np.asarray(ee.mul_base(jnp.asarray(zetas), jnp.uint64(g_h)))
 
     with tt.scope("openings"):
-        all_coeffs = jnp.concatenate(
+        all_coeffs = pin(jnp.concatenate(
             [jnp.broadcast_to(pre["coeffs"], (B, *pre["coeffs"].shape)),
-             wire_coeffs, aux_coeffs, quot_coeffs], axis=1)
+             wire_coeffs, aux_coeffs, quot_coeffs], axis=1),
+            "openings", col_axis=(1, 2))
         open_z = np.asarray(cache["openings"](all_coeffs,
                                               jnp.asarray(zetas)))
         open_gz = np.asarray(cache["openings"](all_coeffs,
@@ -282,7 +310,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
         codeword = pin(cache["codeword"](
             all_lde, jnp.asarray(open_z), jnp.asarray(open_gz),
             jnp.asarray(zetas), jnp.asarray(gzetas),
-            jnp.asarray(fri_alphas), pre["tables"]), "fri_codeword")
+            jnp.asarray(fri_alphas), pre["tables"]), "fri_codeword",
+            col_axis=1)
 
     fcfg = fri.FriConfig(rate_bits=cfg.rate_bits,
                          arity_bits=cfg.fri_arity_bits,
@@ -299,7 +328,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
             "fold", jax.vmap(fri.fold_layer, in_axes=(0, 0, None, None)))
         leaves_v = jax.vmap(fri._layer_leaves)
         while n > (fcfg.final_poly_len << fcfg.rate_bits):
-            tree = batched_tree(pin(leaves_v(v), "fri_leaves"))
+            tree = batched_tree(pin(leaves_v(v), "fri_leaves",
+                                    col_axis=1))
             fri_trees.append(tree)
             fbeta = []
             for b in range(B):
@@ -308,7 +338,8 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
             fbeta = np.stack(fbeta)
             sizes.append(n)
             shifts.append(shift)
-            v = pin(fold_v(v, jnp.asarray(fbeta), n, shift), "fri_fold")
+            v = pin(fold_v(v, jnp.asarray(fbeta), n, shift), "fri_fold",
+                    col_axis=1)
             shift = gl.h_pow(shift, 4)
             n = v.shape[1]
 
