@@ -44,6 +44,9 @@ def main(argv=None) -> int:
                          "batches (ivc/fastpath.verified_pbs_fast)")
     ap.add_argument("--step-batch", type=int, default=8,
                     help="steps per prove_batch call in --fast mode")
+    ap.add_argument("--stage2-device", action="store_true",
+                    help="run the recursive stage-2 witness as chunked "
+                         "device jits instead of on the host CPU")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="persist/resume per-step proofs here")
     args = ap.parse_args(argv)
@@ -148,7 +151,8 @@ def main(argv=None) -> int:
         out_ct, final_proof, sc = verified_pbs_recursive(
             ct, testv, bsk, ksk, params, config=config,
             debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to,
-            checkpoint_dir=args.checkpoint_dir)
+            checkpoint_dir=args.checkpoint_dir,
+            stage2_device=args.stage2_device)
         log.info("proved %d steps (one O(1) proof) in %.2fs",
                  params.num_steps, time.time() - t0)
         t0 = time.time()

@@ -196,6 +196,15 @@ def test_staged_witness_bitexact(rng):
         pw2.initial_vector(data))))
     assert np.array_equal(w_staged, w_ref)
 
+    # the device-chunked variant (bounded graphs for the remote TPU
+    # compile service) must also be bit-identical, chunk count free
+    from vfhe_tpu.circuit.compile import compile_witness_device_chunked
+    for n_chunks in (1, 3, 7):
+        run = compile_witness_device_chunked(b, data, n_chunks=n_chunks)
+        w_chunked = np.asarray(run(jnp.asarray(
+            pw2.initial_vector(data))))
+        assert np.array_equal(w_chunked, w_ref), n_chunks
+
 
 def test_recursive_vpbs_smoke():
     """Fast (non-slow) end-to-end cyclic IVC: the FULL recursive chain —

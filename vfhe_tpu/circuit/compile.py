@@ -830,7 +830,7 @@ def compile_witness_staged(b: CircuitBuilder, data: "CircuitData",
     # the in-process CPU backend regardless of the default device
     f1._platforms = f2._platforms = ["cpu"]
 
-    def on_cpu(cached):
+    def on_cpu(cached, ops_seg):
         def g(w: np.ndarray) -> np.ndarray:
             cpu = jax.devices("cpu")[0]
             # np.array (not asarray): the jit returns a JAX buffer whose
@@ -838,9 +838,40 @@ def compile_witness_staged(b: CircuitBuilder, data: "CircuitData",
             # into the result (vpbs phase-B: ``w1[idx] = val``).
             return np.array(cached(jax.device_put(
                 np.ascontiguousarray(w), cpu)))
+        g.ops = ops_seg       # the op segment (device-chunked variants)
         return g
 
-    return on_cpu(f1), on_cpu(f2)
+    return on_cpu(f1, s1), on_cpu(f2, s2)
+
+
+def compile_witness_device_chunked(b: CircuitBuilder, data: "CircuitData",
+                                   ops=None, n_chunks: int = 8):
+    """Compile an op-ledger (default: the whole circuit's) as
+    ``n_chunks`` SEQUENTIAL device jits: chunk k reads the vector chunk
+    k-1 produced and appends its ops' outputs. Purpose: the remote TPU
+    compile service rejects witness graphs past a size threshold (the
+    recursive step circuit's ~1.4M-target straight line) — bounded
+    chunks each compile fine, the vector never leaves the device
+    between chunks, and dispatch overlaps execution. Chunks are
+    precomputed-sponge (``pre=True``) variants, so
+    ``run(scatter(w0))`` is bit-identical to ``witness_fn_pre(w0)``.
+
+    Returns ``run(w) -> w`` operating on device arrays."""
+    ops = list(b._ops) if ops is None else list(ops)
+    n_chunks = max(1, min(n_chunks, len(ops) or 1))
+    bounds = np.linspace(0, len(ops), n_chunks + 1).astype(int)
+    fns = [_compile_witness(b, data.num_targets, data.zero_slot,
+                            pre=True, ops=ops[bounds[k]:bounds[k + 1]])
+           for k in range(n_chunks)]
+
+    def run(w):
+        w = jnp.asarray(w)
+        for f in fns:
+            w = f(w)
+        return w
+
+    run.chunks = fns         # per-chunk handles (tests / TPU probing)
+    return run
 
 
 class PartialWitness:

@@ -39,12 +39,6 @@ once, cached): n blind-rotation CMUX steps, a first body-rotation step,
 and a final key-switch step done as a GGSW external product with the
 ksk (ivc_based_vpbs.rs:356-371 — the LevCt route exists as a gadget but
 is unused here, matching the reference).
-
-One PBS = n+2 proofs of ONE universal circuit (built & preprocessed
-once, cached): n blind-rotation CMUX steps, a first body-rotation step,
-and a final key-switch step done as a GGSW external product with the
-ksk (ivc_based_vpbs.rs:356-371 — the LevCt route exists as a gadget but
-is unused here, matching the reference).
 """
 
 from __future__ import annotations
@@ -290,6 +284,10 @@ class RecStepCircuit:
     # boundary — lets step t+1's FHE-core witness run while step t's
     # device phases are in flight (CLAUDE.md round-3 queue item 2)
     staged_witness: tuple = None
+    # stage-2 as bounded sequential DEVICE jits (the remote TPU compile
+    # service rejects the monolithic graph; chunks compile) — opt-in
+    # via verified_pbs_recursive(stage2_device_chunks=)
+    staged_device_stage2: object = None
 
 
 def build_recursive_step_circuit(b: CircuitBuilder, params: VpbsParams,
@@ -391,13 +389,18 @@ def get_recursive_step_circuit(params: VpbsParams,
         assert got == want, f"gate-set drift: {got} != {want}"
         log.info("recursive step circuit: %d rows used, h=%d, %d targets",
                  data.rows_used, data.h, data.num_targets)
-        from ..circuit.compile import compile_witness_staged
+        from ..circuit.compile import (compile_witness_staged,
+                                       compile_witness_device_chunked)
         staged = compile_witness_staged(b, data, pt.body_indices())
+        dev2 = compile_witness_device_chunked(b, data,
+                                              ops=staged[1].ops,
+                                              n_chunks=12)
         return RecStepCircuit(
             data=data, layout=lay, params=params, shape=shape,
             t_acc_init=acc_init, t_ggsw=ggsw, t_mask=mask,
             t_condition=condition, t_proof=pt, t_vk_cap=vk_cap,
-            t_vk_digest=vk_digest, staged_witness=staged)
+            t_vk_digest=vk_digest, staged_witness=staged,
+            staged_device_stage2=dev2)
     raise RuntimeError("recursion fixpoint did not converge")
 
 
@@ -513,10 +516,18 @@ def verified_pbs_recursive(ct, testv, bsk, ksk, params: VpbsParams,
                            debug_glwe_key=None, debug_lwe_key=None,
                            debug_ksk_key=None,
                            checkpoint_dir: str | None = None,
-                           min_degree_bits: int = 0):
+                           min_degree_bits: int = 0,
+                           stage2_device: bool = False):
     """Prove one PBS as a cyclic IVC chain: each step proof verifies the
     previous one in-circuit, so ONE O(1) proof attests the whole
     bootstrapping (ref: ivc_based_vpbs.rs:159-386).
+
+    ``stage2_device``: run the stage-2 (proof-body-dependent) witness
+    ops as bounded sequential jits on the DEFAULT device instead of the
+    host CPU backend — attacks the ~2 s/step CPU witness bottleneck at
+    paper shape; the monolithic graph is rejected by the remote TPU
+    compile service but the chunks compile (see
+    compile_witness_device_chunked).
 
     Returns (out_ct, final_proof, rec_step_circuit)."""
     import os
@@ -615,7 +626,10 @@ def verified_pbs_recursive(ct, testv, bsk, ksk, params: VpbsParams,
                 assert pw.sponges_precomputed
                 for idx, val in pw._chunks[n1:]:
                     w1[idx] = val
-                w = stage2_fn(w1)
+                if stage2_device and sc.staged_device_stage2 is not None:
+                    w = sc.staged_device_stage2(jnp.asarray(w1))
+                else:
+                    w = stage2_fn(w1)
             if step + 1 < p.num_steps:
                 fut = ex.submit(prep_stage1, step + 1)
             proof = prove(sc.data, pw, timing=tt, witness=w)
