@@ -870,7 +870,19 @@ def compile_witness_device_chunked(b: CircuitBuilder, data: "CircuitData",
             w = f(w)
         return w
 
+    vmapped = []             # built on first batch call
+
+    def run_batch(W):
+        """(B, num_targets+1) batched variant: each chunk vmapped."""
+        if not vmapped:
+            vmapped.extend(jax.jit(jax.vmap(f.raw)) for f in fns)
+        W = jnp.asarray(W)
+        for f in vmapped:
+            W = f(W)
+        return W
+
     run.chunks = fns         # per-chunk handles (tests / TPU probing)
+    run.batch = run_batch
     return run
 
 

@@ -715,9 +715,11 @@ def verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, proof,
              proof.num_bytes())
 
 
-def verified_pbs_recursive_batch(cts, testv, bsk, ksk, params: VpbsParams,
+def verified_pbs_recursive_batch(cts, testv, bsk, ksk,
+                                 params: VpbsParams,
                                  config: CircuitConfig = STANDARD_CONFIG,
-                                 min_degree_bits: int = 0):
+                                 min_degree_bits: int = 0,
+                                 stage2_device: bool = False):
     """B independent cyclic-IVC chains in lock-step: every ciphertext's
     step-t recursive proof comes from ONE ``prove_batch`` call (the IVC
     chain is sequential per ciphertext, but across ciphertexts step
@@ -813,9 +815,28 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk, params: VpbsParams,
                         w1[idx] = val
                     return pw, stage2_fn(w1)
 
-                done = list(pool.map(finish, zip(preps, prevs)))
-                pws = [d[0] for d in done]
-                W = np.stack([d[1] for d in done])
+                if stage2_device and sc.staged_device_stage2 is not None:
+                    # scatter on the host per instance, then ONE
+                    # vmapped chunked stage-2 pass on the device
+                    scattered = []
+                    for (pw, w1, n1, pred), prev in zip(preps, prevs):
+                        if pred is not None:
+                            assert np.array_equal(
+                                np.asarray(prev.public_inputs, np.uint64),
+                                np.asarray(pred, np.uint64)), \
+                                "native chain diverged from the proven PIs"
+                            sc.t_proof.assign(pw, prev)
+                            pw.precompute_sponges(sc.data, strict=False)
+                        assert pw.sponges_precomputed
+                        for idx, val in pw._chunks[n1:]:
+                            w1[idx] = val
+                        scattered.append(w1)
+                    pws = [d[0] for d in preps]
+                    W = sc.staged_device_stage2.batch(np.stack(scattered))
+                else:
+                    done = list(pool.map(finish, zip(preps, prevs)))
+                    pws = [d[0] for d in done]
+                    W = np.stack([d[1] for d in done])
             if step + 1 < p.num_steps:
                 fut = prefetch.submit(prep_stage1, step + 1)
             prevs = prove_batch(sc.data, pws, timing=tt, witness=W)

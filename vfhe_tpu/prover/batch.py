@@ -193,7 +193,11 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
 
     with tt.scope("witness"):
         if witness is not None:
-            w = jnp.asarray(np.ascontiguousarray(witness))
+            # already-on-device witness (chunked device stage-2): use it
+            # as-is — np.ascontiguousarray would force a device->host->
+            # device round-trip over the tunnel
+            w = witness if isinstance(witness, jax.Array) \
+                else jnp.asarray(np.ascontiguousarray(witness))
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 w = jax.device_put(w, NamedSharding(mesh, P("dp", None)))
