@@ -174,16 +174,17 @@ def test_fast_path_matches_sequential():
 @pytest.mark.slow
 def test_paper_step_circuit_row_budget():
     """Perf-cliff guard: the paper-shape step circuit must stay within
-    2^14 trace rows (h doubles otherwise and EVERY prover phase with it
-    — CLAUDE.md pitfall 7). 11,019 rows after the round-2 row packing
-    (POS1 one-row Poseidon, DECOMP balanced-limb splits, NTTBF constant-
-    column butterflies); ~33% margin before the cliff."""
+    2^13 trace rows (h doubles otherwise and EVERY prover phase with it
+    — CLAUDE.md pitfall 7). 8,106 rows after the round-3 packing
+    (NTTBF4 radix-4 butterflies, signed-DOT gadget-product lanes, CSEL
+    shared-bit rotation selects) — only ~1% margin, so any gadget
+    change that adds rows trips this on purpose."""
     from vfhe_tpu.circuit import STANDARD_CONFIG
     from vfhe_tpu.ivc.vpbs import get_step_circuit
     p = VpbsParams(n=2, N=1024, K=2, ELL=4, LOGB=5, p=2)
     sc = get_step_circuit(p, STANDARD_CONFIG)
-    assert sc.data.rows_used <= 1 << 14, sc.data.rows_used
-    assert sc.data.h == 1 << 14
+    assert sc.data.rows_used <= 1 << 13, sc.data.rows_used
+    assert sc.data.h == 1 << 13
 
 
 @pytest.mark.slow

@@ -58,9 +58,24 @@ from .config import CircuitConfig, STANDARD_CONFIG
 
 # gate kind tags
 (NOOP, ARITH, BASESUM, POS1, CONST, PI, SELECT, BASESUM_CANON,
- NTTBF, NTTBF_INV, DECOMP) = range(11)
+ NTTBF, NTTBF_INV, DECOMP, NTTBF4, NTTBF4_INV, DOT, CSEL) = range(15)
 SELECT_LANES = 20
+CSEL_LANES = 26           # shared-bit selects: wires [bit | 26 x (x,y,out)]
+
+
+def dot_lanes(num_routed: int, npairs: int) -> int:
+    """DOT gate lanes per row: each lane is [a_0,b_0,..,a_{J-1},b_{J-1},
+    c, out] = 2J+2 wires."""
+    return max(1, num_routed // (2 * npairs + 2))
 NTTBF_LANES = 20          # butterflies per row; twiddle in const col l
+NTTBF4_LANES = 10         # radix-4 butterflies per row (8 wires each)
+# The bit-reversed negacyclic twiddle tables satisfy, for EVERY stage
+# pair (m, 2m) and group g:  roots[2m+2g]^2 == roots[m+g]  and
+# roots[2m+2g+1] == J * roots[2m+2g]  with J = 2^48 (J^2 = 2^96 = -1
+# mod p); same for invroots with Ji = -2^48 = J^-1. One constant per
+# radix-4 lane therefore encodes all three stage twiddles.
+NTT_J = 1 << 48
+NTT_JI = 0xFFFFFFFF00000001 - (1 << 48)
 
 ARITH_LANES = 20
 # Rounds whose (post-MDS) output states are wired in a POS1 row; the
@@ -106,7 +121,12 @@ class CircuitBuilder:
         self._poseidon: list = []             # (in(L,12), states(L,8,12), sbox)
         self._sponges: list = []              # carry-precompute descriptors
         self._select: list = []               # (b, x, y, out) flat lanes
+        # (signmask, J) -> [(a(J,L), b(J,L), c(L,), out(L,))]
+        self._dot: dict = {}
+        # neg(bool) -> [(bit_target, x(L,), y(L,), out(L,))]
+        self._csel: dict = {}
         self._nttbf: dict = {}                # inverse -> [(u,v,o1,o2,tw)]
+        self._nttbf4: dict = {}               # inverse -> [(8 arrays, tw)]
         # (nbits, logb) -> [(x(L,), limbs(L,nl), bits(L,nb), aux(L,4))]
         self._decomp: dict = {}
         self._built = False
@@ -212,6 +232,10 @@ class CircuitBuilder:
         return self._arith_vec(1, 0, x, y, zero)
 
     def mul_add_vec(self, x, y, z) -> np.ndarray:
+        """out = x*y + z in one ARITH lane."""
+        return self._arith_vec(1, 1, x, y, z)
+
+    def mul_add_vec(self, x, y, z) -> np.ndarray:
         return self._arith_vec(1, 1, x, y, z)
 
     def neg_vec(self, x) -> np.ndarray:
@@ -238,6 +262,50 @@ class CircuitBuilder:
         self._select.append((ctrl.ravel(), x.ravel(), y.ravel(),
                              out.ravel()))
         return out
+
+    def dot_vec(self, lefts, rights, signs=None, c=None) -> np.ndarray:
+        """Signed inner-product lanes (the DOT gate): out = sum_j
+        s_j * lefts[j] * rights[j] + c with s_j in {+1, -1}. One lane
+        per output element — replaces a J-mul + (J-1)-add ARITH chain
+        (the reference emits one gate per mul/add, vec_arithmetic.rs:
+        49-64). Degree 2."""
+        J = len(lefts)
+        assert J == len(rights) >= 1
+        shape = _np_idx(lefts[0]).shape
+        a = np.stack([_np_idx(x).ravel() for x in lefts])     # (J, L)
+        bb = np.stack([_np_idx(x).ravel() for x in rights])   # (J, L)
+        L = a.shape[1]
+        signs = [1] * J if signs is None else list(signs)
+        assert len(signs) == J and all(s in (1, -1) for s in signs)
+        mask = sum(1 << j for j, s in enumerate(signs) if s < 0)
+        cv = np.full(L, self.zero(), dtype=np.int64) if c is None \
+            else _np_idx(c).ravel()
+        assert cv.shape == (L,)
+        out = self.add_virtual_targets(L)
+        self._defined.update(out.tolist())
+        self._ops.append(_WitnessOp("dot", dict(
+            a=a, b=bb, c=cv, out=out, mask=mask)))
+        self._dot.setdefault((mask, J), []).append((a, bb, cv, out))
+        return out.reshape(shape)
+
+    def csel_vec(self, bit, x, y, neg: bool = False) -> np.ndarray:
+        """Shared-control select lanes (the CSEL gate): out = y +
+        bit*(s*x - y) with s = -1 when ``neg`` (fused negacyclic-wrap
+        rotation select; ref vtfhe/mod.rs:56-66 + glwe_poly.rs:127-142).
+        ``bit`` is ONE target shared by the whole call — 3 wires/lane
+        (26 lanes/row) vs SELECT's 4 (20/row), and the wrap negation
+        costs no extra row."""
+        shape = _np_idx(x).shape
+        x, y = _np_idx(x).ravel(), _np_idx(y).ravel()
+        assert x.shape == y.shape
+        bit = int(np.asarray(bit).ravel()[0])
+        out = self.add_virtual_targets(x.size)
+        self._defined.update(out.tolist())
+        self._ops.append(_WitnessOp("csel", dict(
+            b=np.array([bit], dtype=np.int64), x=x, y=y, out=out,
+            neg=bool(neg))))
+        self._csel.setdefault(bool(neg), []).append((bit, x, y, out))
+        return out.reshape(shape)
 
     def assert_bool(self, t) -> None:
         """b*b - b == 0 via an arith lane writing into the zero cell."""
@@ -307,6 +375,40 @@ class CircuitBuilder:
             u=u, v=v, o1=o1, o2=o2, tw=tw, inv=bool(inverse))))
         self._nttbf.setdefault(bool(inverse), []).append((u, v, o1, o2, tw))
         return o1.reshape(shape), o2.reshape(shape)
+
+    def ntt_butterfly4_vec(self, a0, a1, b0, b1, twiddles,
+                           inverse: bool = False):
+        """Fused RADIX-4 NTT butterfly lanes: two consecutive radix-2
+        stages per lane, ONE constant-column twiddle each (the stage
+        algebra w = s^2, w_odd = J*s — see NTT_J above), 8 wires/lane
+        -> 10 lanes/row, i.e. HALF the rows of the radix-2 NTTBF gate.
+
+            forward  (s = roots[2m+2g]; A,B = even half, C,D = odd):
+              o0 = (A + s^2 C) + (sB + s^3 D)
+              o1 = (A + s^2 C) - (sB + s^3 D)
+              o2 = (A - s^2 C) + J(sB - s^3 D)
+              o3 = (A - s^2 C) - J(sB - s^3 D)
+            inverse  (s = invroots[2m+2g]):
+              o0 = (A+B) + (C+D)
+              o1 = s((A-B) + Ji(C-D))
+              o2 = s^2((A+B) - (C+D))
+              o3 = s^3((A-B) - Ji(C-D))
+
+        Returns (o0, o1, o2, o3) target arrays of a0's shape."""
+        shape = _np_idx(a0).shape
+        ins = [_np_idx(x).ravel() for x in (a0, a1, b0, b1)]
+        tw = np.ascontiguousarray(twiddles, dtype=np.uint64).ravel()
+        assert all(x.shape == tw.shape for x in ins)
+        outs = [self.add_virtual_targets(tw.size) for _ in range(4)]
+        for o in outs:
+            self._defined.update(o.tolist())
+        self._ops.append(_WitnessOp("nttbf4", dict(
+            a0=ins[0], a1=ins[1], b0=ins[2], b1=ins[3],
+            o0=outs[0], o1=outs[1], o2=outs[2], o3=outs[3],
+            tw=tw, inv=bool(inverse))))
+        self._nttbf4.setdefault(bool(inverse), []).append(
+            (*ins, *outs, tw))
+        return tuple(o.reshape(shape) for o in outs)
 
     def split_le_limbs_vec(self, xs, logb: int, num_limbs: int):
         """Canonical split + BALANCED limb recombination in ONE row (the
@@ -677,9 +779,21 @@ class CircuitBuilder:
             rows += -(-sum(e[0].size for e in entries) // lanes_pr)
         sel_lanes = sum(s[0].size for s in self._select)
         rows += -(-sel_lanes // SELECT_LANES)
+        for (mask, J), entries in self._dot.items():
+            lanes_pr = dot_lanes(self.config.num_routed_wires, J)
+            rows += -(-sum(e[3].size for e in entries) // lanes_pr)
+        for entries in self._csel.values():
+            # rows are packed per shared bit — count per bit group
+            by_bit: dict = {}
+            for bit, x, y, out in entries:
+                by_bit[bit] = by_bit.get(bit, 0) + x.size
+            rows += sum(-(-n // CSEL_LANES) for n in by_bit.values())
         for entries in self._nttbf.values():
             lanes = sum(e[0].size for e in entries)
             rows += -(-lanes // NTTBF_LANES)
+        for entries in self._nttbf4.values():
+            lanes = sum(e[0].size for e in entries)
+            rows += -(-lanes // NTTBF4_LANES)
         for entries in self._decomp.values():
             rows += sum(e[0].size for e in entries)
         rows += sum(p[0].shape[0] for p in self._poseidon)

@@ -22,9 +22,11 @@ from ..field import goldilocks as gl
 from ..hashing import constants as HC
 from ..hashing import poseidon as HP
 from .builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS1, CONST,
-                      PI, SELECT, NTTBF, NTTBF_INV, DECOMP, ARITH_LANES,
-                      SELECT_LANES, NTTBF_LANES, POS1_KEEP, POS1_OUT_IDX,
-                      CircuitBuilder, GateInstance)
+                      PI, SELECT, NTTBF, NTTBF_INV, DECOMP, NTTBF4,
+                      NTTBF4_INV, DOT, CSEL, ARITH_LANES, SELECT_LANES,
+                      NTTBF_LANES, NTTBF4_LANES, CSEL_LANES, dot_lanes,
+                      NTT_J, NTT_JI, POS1_KEEP,
+                      POS1_OUT_IDX, CircuitBuilder, GateInstance)
 from .config import CircuitConfig
 
 log = logging.getLogger("vfhe_tpu")
@@ -123,6 +125,57 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
             consts_rows.append([0, 0, 0, 0])
             kinds.append((SELECT, 0))
 
+    # ---- dot rows (signed inner-product lanes) ---------------------------
+    for (mask, J), entries in sorted(b._dot.items()):
+        a = np.concatenate([e[0] for e in entries], axis=1)    # (J, L)
+        bb = np.concatenate([e[1] for e in entries], axis=1)
+        cc = np.concatenate([e[2] for e in entries])
+        out = np.concatenate([e[3] for e in entries])
+        lanes_pr = dot_lanes(cfg.num_routed_wires, J)
+        L = out.size
+        nrows = -(-L // lanes_pr)
+        padn = nrows * lanes_pr - L
+        if padn:
+            zpad1 = np.full(padn, zero_t, dtype=np.int64)
+            zpadJ = np.full((J, padn), zero_t, dtype=np.int64)
+            a = np.concatenate([a, zpadJ], axis=1)
+            bb = np.concatenate([bb, zpadJ], axis=1)
+            cc = np.concatenate([cc, zpad1])
+            out = np.concatenate([out, zpad1])
+        # lane layout: a_0 b_0 a_1 b_1 ... a_{J-1} b_{J-1} c out
+        ab = np.empty((2 * J, a.shape[1]), dtype=np.int64)
+        ab[0::2] = a
+        ab[1::2] = bb
+        lanesW = np.concatenate([ab.T, cc[:, None], out[:, None]], axis=1)
+        lanesW = lanesW.reshape(nrows, lanes_pr * (2 * J + 2))
+        for r in range(nrows):
+            wires_rows.append(lanesW[r])
+            consts_rows.append([])
+            kinds.append((DOT, (mask << 8) | J))
+
+    # ---- csel rows (one shared control bit per row) ----------------------
+    for neg in sorted(b._csel):
+        by_bit: dict = {}
+        for bit, x, y, out in b._csel[neg]:
+            by_bit.setdefault(bit, []).append((x, y, out))
+        for bit in sorted(by_bit):
+            x = np.concatenate([e[0] for e in by_bit[bit]])
+            y = np.concatenate([e[1] for e in by_bit[bit]])
+            out = np.concatenate([e[2] for e in by_bit[bit]])
+            L = x.size
+            nrows = -(-L // CSEL_LANES)
+            padn = nrows * CSEL_LANES - L
+            if padn:
+                zpad = np.full(padn, zero_t, dtype=np.int64)
+                x, y, out = (np.concatenate([v, zpad]) for v in (x, y, out))
+            lanes3 = np.stack([x, y, out], axis=1).reshape(
+                nrows, CSEL_LANES * 3)
+            for r in range(nrows):
+                wires_rows.append(np.concatenate(
+                    [np.array([bit], dtype=np.int64), lanes3[r]]))
+                consts_rows.append([])
+                kinds.append((CSEL, int(neg)))
+
     # ---- base-sum rows (multiple lanes per row for small widths) --------
     for nbits, entries in sorted(b._basesum.items()):
         sums = np.concatenate([e[0] for e in entries])
@@ -200,6 +253,25 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
             consts_rows.append([int(x) for x in twr[r]])
             kinds.append((NTTBF_INV if inv else NTTBF, 0))
 
+    # ---- radix-4 NTT butterfly rows (one twiddle const per lane) --------
+    for inv in sorted(b._nttbf4):
+        entries = b._nttbf4[inv]
+        arrs = [np.concatenate([e[i] for e in entries]) for i in range(8)]
+        tw = np.concatenate([e[8] for e in entries])
+        lanes = arrs[0].size
+        nrows = -(-lanes // NTTBF4_LANES)
+        padn = nrows * NTTBF4_LANES - lanes
+        if padn:
+            zpad = np.full(padn, zero_t, dtype=np.int64)
+            arrs = [np.concatenate([x, zpad]) for x in arrs]
+            tw = np.concatenate([tw, np.zeros(padn, np.uint64)])
+        lanes8 = np.stack(arrs, axis=1).reshape(nrows, NTTBF4_LANES * 8)
+        twr = tw.reshape(nrows, NTTBF4_LANES)
+        for r in range(nrows):
+            wires_rows.append(lanes8[r])
+            consts_rows.append([int(x) for x in twr[r]])
+            kinds.append((NTTBF4_INV if inv else NTTBF4, 0))
+
     # ---- poseidon rows (one row per permutation, POS1 layout) -----------
     # wires: in(12) | out(12) | r0..r3 states(48) | 22 sbox | r26..r28(36)
     for inp, st, sbx in b._poseidon:
@@ -249,7 +321,8 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
     gates: list[GateInstance] = []
     sel_of_row = np.full(h, -1, dtype=np.int64)
     for r, (kind, param) in enumerate(kinds):
-        key = (kind, param if kind in (BASESUM, BASESUM_CANON, DECOMP)
+        key = (kind, param if kind in (BASESUM, BASESUM_CANON, DECOMP,
+                                       DOT, CSEL)
                else 0)
         if kind == NOOP:
             continue
@@ -262,6 +335,12 @@ def compile_circuit(b: CircuitBuilder, min_rows: int = 0,
                 lanes = max(1, cfg.num_routed_wires // (key[1] + 5))
             elif key[0] in (NTTBF, NTTBF_INV):
                 lanes = NTTBF_LANES
+            elif key[0] in (NTTBF4, NTTBF4_INV):
+                lanes = NTTBF4_LANES
+            elif key[0] == DOT:
+                lanes = dot_lanes(cfg.num_routed_wires, key[1] & 0xFF)
+            elif key[0] == CSEL:
+                lanes = CSEL_LANES
             gates.append(GateInstance(kind=key[0], param=key[1],
                                       selector=len(gates), lanes=lanes))
         sel_of_row[r] = gate_key_to_sel[key]
@@ -610,6 +689,31 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
                     s = gl.mul(tw, vv)
                     w = w.at[d["o1"]].set(gl.add(uv, s))
                     w = w.at[d["o2"]].set(gl.sub(uv, s))
+            elif op.kind == "nttbf4":
+                A, B, C, D = (w[d[k]] for k in ("a0", "a1", "b0", "b1"))
+                tw = jnp.asarray(d["tw"])
+                if d["inv"]:
+                    u1, dd1 = gl.add(A, B), gl.sub(A, B)
+                    u2, dd2 = gl.add(C, D), gl.sub(C, D)
+                    jd2 = gl.mul(jnp.uint64(NTT_JI), dd2)
+                    tw2 = gl.mul(tw, tw)
+                    w = w.at[d["o0"]].set(gl.add(u1, u2))
+                    w = w.at[d["o1"]].set(gl.mul(tw, gl.add(dd1, jd2)))
+                    w = w.at[d["o2"]].set(gl.mul(tw2, gl.sub(u1, u2)))
+                    w = w.at[d["o3"]].set(
+                        gl.mul(gl.mul(tw2, tw), gl.sub(dd1, jd2)))
+                else:
+                    tw2 = gl.mul(tw, tw)
+                    t1 = gl.mul(tw2, C)
+                    t2 = gl.mul(tw, B)
+                    t3 = gl.mul(gl.mul(tw2, tw), D)
+                    x1, y1 = gl.add(A, t1), gl.add(t2, t3)
+                    w = w.at[d["o0"]].set(gl.add(x1, y1))
+                    w = w.at[d["o1"]].set(gl.sub(x1, y1))
+                    xm = gl.sub(A, t1)
+                    ym = gl.mul(jnp.uint64(NTT_J), gl.sub(t2, t3))
+                    w = w.at[d["o2"]].set(gl.add(xm, ym))
+                    w = w.at[d["o3"]].set(gl.sub(xm, ym))
             elif op.kind == "lesum":
                 bits_v = w[d["bits"]]
                 nbits = d["bits"].shape[1]
@@ -721,6 +825,22 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
                 bv, xv, yv = w[d["b"]], w[d["x"]], w[d["y"]]
                 res = gl.add(gl.mul(bv, gl.sub(xv, yv)), yv)
                 w = w.at[d["out"]].set(res)
+            elif op.kind == "csel":
+                bv = w[d["b"]][0]
+                xv, yv = w[d["x"]], w[d["y"]]
+                if d["neg"]:
+                    xv = gl.neg(xv)
+                res = gl.add(gl.mul(bv, gl.sub(xv, yv)), yv)
+                w = w.at[d["out"]].set(res)
+            elif op.kind == "dot":
+                A, B = w[d["a"]], w[d["b"]]          # (J, L)
+                acc = w[d["c"]]
+                mask = d["mask"]
+                for j in range(A.shape[0]):
+                    prod = gl.mul(A[j], B[j])
+                    acc = gl.sub(acc, prod) if (mask >> j) & 1 \
+                        else gl.add(acc, prod)
+                w = w.at[d["out"]].set(acc)
             elif op.kind == "ext_inv":
                 xv = w[d["x"]]                    # (L, 2)
                 norm = gl.sub(gl.square(xv[:, 0]),
@@ -743,10 +863,20 @@ def _compile_witness(b: CircuitBuilder, num_targets: int, zero_slot: int,
         return w
 
     jitted = jax.jit(fn)
-    digest = _ops_digest(ops, const_idx, const_vals, num_targets,
-                         zero_slot, pre)
-    if not host:
-        return _LazyExportCached(jitted, num_targets, digest)
+    if len(ops) < 192:
+        # small graphs trace+compile in seconds — the executable disk
+        # cache (deserialize + probe + possible .bad churn) costs more
+        # than it saves; only big circuits go through it
+        cached = jitted
+        if not host:
+            return jitted
+    else:
+        digest = _ops_digest(ops, const_idx, const_vals, num_targets,
+                             zero_slot, pre)
+        if not host:
+            return _LazyExportCached(jitted, num_targets, digest)
+        cached = _LazyExportCached(jitted, num_targets, digest,
+                                   platforms=["cpu"])
 
     # Host mode: witness generation is scatter-heavy straight-line code —
     # compile and run it on the in-process CPU backend (the remote TPU
@@ -772,6 +902,9 @@ _OP_IO = {
     "split": (("x",), ("bits", "aux")),
     "splitd": (("x",), ("bits", "aux", "bal")),
     "nttbf": (("u", "v"), ("o1", "o2")),
+    "nttbf4": (("a0", "a1", "b0", "b1"), ("o0", "o1", "o2", "o3")),
+    "dot": (("a", "b", "c"), ("out",)),
+    "csel": (("b", "x", "y"), ("out",)),
     "lesum": (("bits",), ("out",)),
     "poseidon": (("inp",), ("states", "sbox")),
     "sponge_b": (("chunks", "init"), ("states", "sbox")),
@@ -828,7 +961,10 @@ def compile_witness_staged(b: CircuitBuilder, data: "CircuitData",
                           pre=True, ops=s2)
     # force the cpu-platform export cache: both stages always execute on
     # the in-process CPU backend regardless of the default device
-    f1._platforms = f2._platforms = ["cpu"]
+    # (small segments come back as raw jits — nothing to point at cpu)
+    for f in (f1, f2):
+        if isinstance(f, _LazyExportCached):
+            f._platforms = ["cpu"]
 
     def on_cpu(cached, ops_seg):
         def g(w: np.ndarray) -> np.ndarray:
@@ -875,7 +1011,8 @@ def compile_witness_device_chunked(b: CircuitBuilder, data: "CircuitData",
     def run_batch(W):
         """(B, num_targets+1) batched variant: each chunk vmapped."""
         if not vmapped:
-            vmapped.extend(jax.jit(jax.vmap(f.raw)) for f in fns)
+            vmapped.extend(jax.jit(jax.vmap(getattr(f, "raw", f)))
+                           for f in fns)
         W = jnp.asarray(W)
         for f in vmapped:
             W = f(W)

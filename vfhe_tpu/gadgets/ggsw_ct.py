@@ -51,13 +51,30 @@ class GgswCt:
     def external_product(self, b, glwe: GlweCt, logb: int) -> GlweCt:
         """GGSW (NTT domain) x GLWE with the reference's sign convention
         result = glev_muls[K-1] - sum_{i<K-1} glev_muls[i], then iNTT
-        (ref: ggsw_ct.rs:98-112)."""
+        (ref: ggsw_ct.rs:98-112).
+
+        The whole NTT-domain accumulation — K glevs x ELL limbs of
+        pointwise products, the cross-glev sum AND its signs — is ONE
+        signed-DOT lane per output coefficient (K*ELL pairs), instead
+        of the reference's per-mul/per-add gate chain."""
+        import math
+        from .ntt_gadget import ntt_forward as _ntt_fw
         k = len(self.glev_cts)
-        muls = [glev.mul(b, poly, logb)
-                for poly, glev in zip(glwe.polys, self.glev_cts)]
-        if k > 1:
-            sum_polys = glwe_add_many(b, muls[:k - 1])
-            out = muls[k - 1].sub(b, sum_polys)
-        else:
-            out = muls[0]
-        return out.ntt_backward(b)
+        hats = []                              # per glev: (ELL, N) targets
+        for poly, glev in zip(glwe.polys, self.glev_cts):
+            num_limbs = math.ceil(64 / logb)
+            limbs = poly.decompose(b, logb, num_limbs)
+            top = limbs[num_limbs - glev.ell:]
+            hats.append(_ntt_fw(b, top))
+        out_polys = []
+        for index in range(k):
+            lefts, rights, signs = [], [], []
+            for i, glev in enumerate(self.glev_cts):
+                row = glev.get_row(index)      # ELL coeff vectors
+                s = 1 if i == k - 1 else -1
+                for l in range(glev.ell):
+                    lefts.append(hats[i][l])
+                    rights.append(row[l])
+                    signs.append(s)
+            out_polys.append(GlwePoly(b.dot_vec(lefts, rights, signs)))
+        return GlweCt(out_polys).ntt_backward(b)

@@ -16,9 +16,9 @@ def log2_ceil(x: int) -> int:
 
 
 def poly_select(b, control: int, left: GlwePoly, right: GlwePoly) -> GlwePoly:
-    """(ref: vtfhe/mod.rs:56-66)."""
-    return GlwePoly(b.select_vec(np.full(left.n, control, dtype=np.int64),
-                                 left.coeffs, right.coeffs))
+    """(ref: vtfhe/mod.rs:56-66). One shared control for the whole poly
+    -> CSEL gate lanes (3 wires/lane vs SELECT's 4)."""
+    return GlwePoly(b.csel_vec(control, left.coeffs, right.coeffs))
 
 
 def glwe_select(b, control: int, left: GlweCt, right: GlweCt) -> GlweCt:
@@ -38,12 +38,22 @@ def rotate_poly(b, poly: GlwePoly, shift: int) -> GlwePoly:
     n = poly.n
     log2n = log2_ceil(n) + 1
     bits = b.split_le_vec(np.array([shift]), 64)[0]   # (64,) bit targets
+
+    def stage(cur: GlwePoly, bit, shift: int) -> GlwePoly:
+        # out = bit ? rotate(cur, shift) : cur, with the negacyclic wrap
+        # negation FUSED into the select (CSEL neg lanes): rotated
+        # position i<shift sources -cur[n-shift+i], the rest cur[i-shift]
+        c = cur.coeffs
+        if shift == n:           # full wrap: pure negation select
+            return GlwePoly(b.csel_vec(bit, c, c, neg=True))
+        wrap = b.csel_vec(bit, c[n - shift:], c[:shift], neg=True)
+        rest = b.csel_vec(bit, c[:n - shift], c[shift:], neg=False)
+        return GlwePoly(np.concatenate([wrap, rest]))
+
     # rounding: rotate by 1 iff bit just below the mod-switch window is set
-    carry_shift = poly.rotate(b, 1)
-    current = poly_select(b, bits[64 - log2n - 1], carry_shift, poly)
+    current = stage(poly, bits[64 - log2n - 1], 1)
     for log_shift, bit in enumerate(bits[64 - log2n:]):
-        shifted = current.rotate(b, 1 << log_shift)
-        current = poly_select(b, bit, shifted, current)
+        current = stage(current, bit, 1 << log_shift)
     return current
 
 

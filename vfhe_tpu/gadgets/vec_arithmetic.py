@@ -36,9 +36,8 @@ def vec_add_many(b, vecs) -> np.ndarray:
 
 def vec_inner(b, lefts, rights) -> np.ndarray:
     """Inner product of two lists of vectors: sum_i lefts[i] * rights[i]
-    (ref: :49-64)."""
-    acc = None
-    for l, r in zip(lefts, rights):
-        prod = b.mul_vec(np.asarray(l), np.asarray(r))
-        acc = prod if acc is None else b.add_vec(acc, prod)
-    return acc
+    (ref: :49-64) — one DOT-gate lane per output element."""
+    n = min(len(lefts), len(rights))   # zip truncation, as the ref does
+    lefts = [np.asarray(l) for l in lefts[:n]]
+    rights = [np.asarray(r) for r in rights[:n]]
+    return b.dot_vec(lefts, rights)

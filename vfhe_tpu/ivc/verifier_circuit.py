@@ -26,6 +26,8 @@ from ..field import goldilocks as gl
 from ..field import extension as fe
 from ..circuit.builder import (ARITH, BASESUM, BASESUM_CANON, POS1,
                                CONST, PI, SELECT, NTTBF, NTTBF_INV,
+                               NTTBF4, NTTBF4_INV, NTTBF4_LANES, NTT_J,
+                               NTT_JI, DOT, CSEL, CSEL_LANES,
                                DECOMP, ARITH_LANES, SELECT_LANES,
                                NTTBF_LANES)
 from ..hashing import constants as HC
@@ -309,6 +311,69 @@ def eval_gates_circuit(b, gates, wires, consts, pi_ext):
                 c2 = ge.ext_sub(
                     b, ge.ext_mul(b, cl, ge.ext_sub(b, u_w, v_w)), o2)
             terms = np.stack([c1, c2], axis=1).reshape(-1, 2)
+        elif kind == DOT:
+            mask, J = gate.param >> 8, gate.param & 0xFF
+            lanes = gate.lanes
+            idx = np.arange(lanes) * (2 * J + 2)
+            acc = wires[idx + 2 * J]                   # c, (lanes, 2)
+            for j in range(J):
+                prod = ge.ext_mul(b, wires[idx + 2 * j],
+                                  wires[idx + 2 * j + 1])
+                acc = ge.ext_sub(b, acc, prod) if (mask >> j) & 1 \
+                    else ge.ext_add(b, acc, prod)
+            terms = ge.ext_sub(b, acc, wires[idx + 2 * J + 1])
+        elif kind == CSEL:
+            idx = 1 + np.arange(CSEL_LANES) * 3
+            x = wires[idx]
+            y = wires[idx + 1]
+            out = wires[idx + 2]
+            bit = np.broadcast_to(wires[0], x.shape)
+            if gate.param:
+                # out = y + bit*(-x - y) = y - bit*(x + y)
+                val = ge.ext_sub(
+                    b, y, ge.ext_mul(b, bit, ge.ext_add(b, x, y)))
+            else:
+                val = ge.ext_add(
+                    b, ge.ext_mul(b, bit, ge.ext_sub(b, x, y)), y)
+            terms = ge.ext_sub(b, val, out)
+        elif kind in (NTTBF4, NTTBF4_INV):
+            # radix-4 lanes: constraint order matched to eval_gate
+            idx = np.arange(NTTBF4_LANES) * 8
+            A, B, C, D = (wires[idx + j] for j in range(4))
+            o0, o1, o2, o3 = (wires[idx + 4 + j] for j in range(4))
+            cl = consts[0:NTTBF4_LANES]                # (10, 2)
+            c2l = ge.ext_mul(b, cl, cl)
+            if kind == NTTBF4:
+                t1 = ge.ext_mul(b, c2l, C)
+                t2 = ge.ext_mul(b, cl, B)
+                t3 = ge.ext_mul(b, ge.ext_mul(b, c2l, cl), D)
+                x1 = ge.ext_add(b, A, t1)
+                y1 = ge.ext_add(b, t2, t3)
+                k0 = ge.ext_sub(b, ge.ext_add(b, x1, y1), o0)
+                k1 = ge.ext_sub(b, ge.ext_sub(b, x1, y1), o1)
+                xm = ge.ext_sub(b, A, t1)
+                jt = np.full(NTTBF4_LANES, b.constant(NTT_J),
+                             dtype=np.int64)
+                ym = ge.ext_mul_base(b, ge.ext_sub(b, t2, t3), jt)
+                k2 = ge.ext_sub(b, ge.ext_add(b, xm, ym), o2)
+                k3 = ge.ext_sub(b, ge.ext_sub(b, xm, ym), o3)
+            else:
+                u1 = ge.ext_add(b, A, B)
+                d1 = ge.ext_sub(b, A, B)
+                u2 = ge.ext_add(b, C, D)
+                d2 = ge.ext_sub(b, C, D)
+                jit_ = np.full(NTTBF4_LANES, b.constant(NTT_JI),
+                               dtype=np.int64)
+                jd2 = ge.ext_mul_base(b, d2, jit_)
+                k0 = ge.ext_sub(b, ge.ext_add(b, u1, u2), o0)
+                k1 = ge.ext_sub(
+                    b, ge.ext_mul(b, cl, ge.ext_add(b, d1, jd2)), o1)
+                k2 = ge.ext_sub(
+                    b, ge.ext_mul(b, c2l, ge.ext_sub(b, u1, u2)), o2)
+                k3 = ge.ext_sub(
+                    b, ge.ext_mul(b, ge.ext_mul(b, c2l, cl),
+                                  ge.ext_sub(b, d1, jd2)), o3)
+            terms = np.stack([k0, k1, k2, k3], axis=1).reshape(-1, 2)
         elif kind == POS1:
             terms = _eval_pos1(b, wires)
         elif kind == CONST:

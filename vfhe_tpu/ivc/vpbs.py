@@ -55,7 +55,7 @@ from ..field import goldilocks as gl
 from ..crypto import poly as cpoly, lwe as clwe, glwe as cglwe, ggsw as cggsw
 from ..circuit import CircuitBuilder, CircuitConfig, PartialWitness, \
     STANDARD_CONFIG
-from ..gadgets import GlweCt, GgswCt, glwe_select, rotate_glwe
+from ..gadgets import GlweCt, GgswCt, GlwePoly, glwe_select, rotate_glwe
 from ..hashing import poseidon as HP
 from ..prover import prove, preprocess, verify
 from ..utils.timing import TimingTree
@@ -155,10 +155,16 @@ def _build_step_core(b: CircuitBuilder, p: VpbsParams, acc_init, ggsw,
     diff_glwe = shifted_glwe.sub(b, current_acc_in)
     xprod_in = glwe_select(b, last_step, current_acc_in, diff_glwe)
     xprod_out = ggsw.external_product(b, xprod_in, p.LOGB)
-    cmux_out = xprod_out.add(b, current_acc_in)
 
-    # last step: plain external product (key switch), no cmux add
-    cmux_or_exprod = glwe_select(b, last_step, xprod_out, cmux_out)
+    # last step: plain external product (key switch), no cmux add.
+    # select(last, xprod, xprod + acc) == xprod + (1-last)*acc — one
+    # fused ARITH lane per coefficient instead of an add + a select.
+    not_last = b.sub(b.one(), last_step)
+    cmux_or_exprod = GlweCt([
+        GlwePoly(b.mul_add_vec(
+            np.full(p.N, not_last, dtype=np.int64),
+            acc.coeffs, xp.coeffs))
+        for xp, acc in zip(xprod_out.polys, current_acc_in.polys)])
     # first step: only the rotation
     current_acc_out = glwe_select(b, first_step, shifted_glwe, cmux_or_exprod)
     current_acc_out.register(b)
@@ -224,10 +230,13 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
     cyclic fixpoint needs the selector count up front — the reference's
     analogue is common_data_for_recursion's fixed gate list,
     ivc_based_vpbs.rs:30-62). Row order in circuit/compile.py determines
-    selector indices: ARITH, SELECT, BASESUM (asc widths), BASESUM_CANON
-    (asc widths), DECOMP (asc keys), NTTBF/NTTBF_INV, POS1, CONST, PI."""
+    selector indices: ARITH, SELECT, DOT (asc keys), CSEL (pos, neg),
+    BASESUM (asc widths), BASESUM_CANON (asc widths), DECOMP (asc keys),
+    NTTBF/NTTBF_INV, NTTBF4/NTTBF4_INV, POS1, CONST, PI."""
     from ..circuit.builder import (ARITH, BASESUM, BASESUM_CANON, SELECT,
-                                   NTTBF, NTTBF_INV, DECOMP, NTTBF_LANES,
+                                   NTTBF, NTTBF_INV, NTTBF4, NTTBF4_INV,
+                                   DOT, CSEL, CSEL_LANES, dot_lanes,
+                                   DECOMP, NTTBF_LANES, NTTBF4_LANES,
                                    POS1, CONST, PI, GateInstance)
     # Discover the step circuit's gate inventory by dry-building it
     # (cheap relative to a proof); union with the recursive verifier's
@@ -238,6 +247,9 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
     canon_widths = sorted(set(probe._basesum_canon.keys()) | {64})
     decomp_keys = sorted(probe._decomp.keys())
     nttbf_kinds = sorted(probe._nttbf.keys())
+    nttbf4_kinds = sorted(probe._nttbf4.keys())
+    dot_keys = sorted(probe._dot.keys())
+    csel_kinds = sorted(probe._csel.keys())
     gates = []
 
     def g(kind, param=0):
@@ -248,11 +260,21 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
             lanes = max(1, config.num_routed_wires // (param + 5))
         elif kind in (NTTBF, NTTBF_INV):
             lanes = NTTBF_LANES
+        elif kind in (NTTBF4, NTTBF4_INV):
+            lanes = NTTBF4_LANES
+        elif kind == DOT:
+            lanes = dot_lanes(config.num_routed_wires, param & 0xFF)
+        elif kind == CSEL:
+            lanes = CSEL_LANES
         gates.append(GateInstance(kind=kind, param=param,
                                   selector=len(gates), lanes=lanes))
 
     g(ARITH)
     g(SELECT)
+    for mask, J in dot_keys:
+        g(DOT, (mask << 8) | J)
+    for neg in csel_kinds:
+        g(CSEL, int(neg))
     for w in widths:
         g(BASESUM, w)
     for w in canon_widths:
@@ -261,6 +283,8 @@ def predict_gates(params: VpbsParams, config: CircuitConfig) -> list:
         g(DECOMP, (nbits << 8) | logb)
     for inv in nttbf_kinds:
         g(NTTBF_INV if inv else NTTBF)
+    for inv in nttbf4_kinds:
+        g(NTTBF4_INV if inv else NTTBF4)
     g(POS1)
     g(CONST)
     g(PI)

@@ -23,7 +23,9 @@ from ..field import extension as ee
 from ..hashing import constants as HC
 from ..circuit.builder import (NOOP, ARITH, BASESUM, BASESUM_CANON, POS1,
                                CONST, PI, SELECT, NTTBF, NTTBF_INV, DECOMP,
-                               ARITH_LANES, SELECT_LANES, NTTBF_LANES)
+                               NTTBF4, NTTBF4_INV, DOT, CSEL, ARITH_LANES,
+                               SELECT_LANES, NTTBF_LANES, NTTBF4_LANES,
+                               CSEL_LANES, NTT_J, NTT_JI)
 
 _EPS32 = (1 << 32) - 1
 
@@ -198,6 +200,52 @@ def eval_gate(gate, F, wires, consts, pi_hash) -> list:
             else:
                 cs.append(F.sub(F.add(u_w, v_w), o1))
                 cs.append(F.sub(F.mul(c, F.sub(u_w, v_w)), o2))
+    elif kind == DOT:
+        mask, J = gate.param >> 8, gate.param & 0xFF
+        for l in range(gate.lanes):
+            base = l * (2 * J + 2)
+            acc = wires[base + 2 * J]                      # c
+            for j in range(J):
+                prod = F.mul(wires[base + 2 * j], wires[base + 2 * j + 1])
+                acc = F.sub(acc, prod) if (mask >> j) & 1 \
+                    else F.add(acc, prod)
+            cs.append(F.sub(acc, wires[base + 2 * J + 1]))
+    elif kind == CSEL:
+        bit = wires[0]
+        for l in range(CSEL_LANES):
+            x, y, out = (wires[1 + 3 * l + i] for i in range(3))
+            if gate.param:                                 # negated x
+                x = F.mul_int(x, gl.P - 1)
+            cs.append(F.sub(F.add(F.mul(bit, F.sub(x, y)), y), out))
+    elif kind in (NTTBF4, NTTBF4_INV):
+        # radix-4 butterfly: one constant s per lane, w = s^2 and
+        # w_odd = J*s by the twiddle-table identity (builder.NTT_J)
+        for l in range(NTTBF4_LANES):
+            A, B, C, D, o0, o1, o2, o3 = (wires[8 * l + i]
+                                          for i in range(8))
+            c = consts[l]
+            c2 = F.mul(c, c)
+            if kind == NTTBF4:
+                t1 = F.mul(c2, C)
+                t2 = F.mul(c, B)
+                t3 = F.mul(F.mul(c2, c), D)
+                x1 = F.add(A, t1)
+                y1 = F.add(t2, t3)
+                cs.append(F.sub(F.add(x1, y1), o0))
+                cs.append(F.sub(F.sub(x1, y1), o1))
+                xm = F.sub(A, t1)
+                ym = F.mul_int(F.sub(t2, t3), NTT_J)
+                cs.append(F.sub(F.add(xm, ym), o2))
+                cs.append(F.sub(F.sub(xm, ym), o3))
+            else:
+                u1, d1 = F.add(A, B), F.sub(A, B)
+                u2, d2 = F.add(C, D), F.sub(C, D)
+                jd2 = F.mul_int(d2, NTT_JI)
+                cs.append(F.sub(F.add(u1, u2), o0))
+                cs.append(F.sub(F.mul(c, F.add(d1, jd2)), o1))
+                cs.append(F.sub(F.mul(c2, F.sub(u1, u2)), o2))
+                cs.append(F.sub(F.mul(F.mul(c2, c), F.sub(d1, jd2)),
+                                o3))
     elif kind == POS1:
         # one whole permutation per row; see builder.py POS1 wire layout
         # and hashing/constants.pos1_affine_data for the partial-round
@@ -406,6 +454,54 @@ def eval_gate_stacked(gate, wire_lde: jnp.ndarray, const_lde: jnp.ndarray,
             c2 = gl.sub(gl.mul(c, gl.sub(u, v)), o2)
         # order: per lane (c1, c2) — matches eval_gate
         return jnp.stack([c1, c2], axis=1).reshape(2 * NTTBF_LANES, -1)
+    if kind == DOT:
+        mask, J = gate.param >> 8, gate.param & 0xFF
+        lanes = gate.lanes
+        idx = np.arange(lanes) * (2 * J + 2)
+        acc = wire_lde[idx + 2 * J]                        # c, (lanes, n)
+        for j in range(J):
+            prod = gl.mul(wire_lde[idx + 2 * j], wire_lde[idx + 2 * j + 1])
+            acc = gl.sub(acc, prod) if (mask >> j) & 1 \
+                else gl.add(acc, prod)
+        # order: one constraint per lane — matches eval_gate
+        return gl.sub(acc, wire_lde[idx + 2 * J + 1])
+    if kind == CSEL:
+        bit = wire_lde[0][None, :]                         # (1, n)
+        idx = 1 + np.arange(CSEL_LANES) * 3
+        x = wire_lde[idx]
+        y = wire_lde[idx + 1]
+        out = wire_lde[idx + 2]
+        if gate.param:
+            x = gl.neg(x)
+        return gl.sub(gl.add(gl.mul(bit, gl.sub(x, y)), y), out)
+    if kind in (NTTBF4, NTTBF4_INV):
+        idx = np.arange(NTTBF4_LANES) * 8
+        A, B, C, D = (wire_lde[idx + j] for j in range(4))
+        o0, o1, o2, o3 = (wire_lde[idx + 4 + j] for j in range(4))
+        c = const_lde[0:NTTBF4_LANES]
+        c2 = gl.mul(c, c)
+        if kind == NTTBF4:
+            t1 = gl.mul(c2, C)
+            t2 = gl.mul(c, B)
+            t3 = gl.mul(gl.mul(c2, c), D)
+            x1, y1 = gl.add(A, t1), gl.add(t2, t3)
+            k0 = gl.sub(gl.add(x1, y1), o0)
+            k1 = gl.sub(gl.sub(x1, y1), o1)
+            xm = gl.sub(A, t1)
+            ym = gl.mul(jnp.uint64(NTT_J), gl.sub(t2, t3))
+            k2 = gl.sub(gl.add(xm, ym), o2)
+            k3 = gl.sub(gl.sub(xm, ym), o3)
+        else:
+            u1, d1 = gl.add(A, B), gl.sub(A, B)
+            u2, d2 = gl.add(C, D), gl.sub(C, D)
+            jd2 = gl.mul(jnp.uint64(NTT_JI), d2)
+            k0 = gl.sub(gl.add(u1, u2), o0)
+            k1 = gl.sub(gl.mul(c, gl.add(d1, jd2)), o1)
+            k2 = gl.sub(gl.mul(c2, gl.sub(u1, u2)), o2)
+            k3 = gl.sub(gl.mul(gl.mul(c2, c), gl.sub(d1, jd2)), o3)
+        # order: per lane (k0, k1, k2, k3) — matches eval_gate
+        return jnp.stack([k0, k1, k2, k3],
+                         axis=1).reshape(4 * NTTBF4_LANES, -1)
     if kind == POS1:
         return _pos1_stacked(wire_lde)
     if kind == CONST:
@@ -478,6 +574,12 @@ def num_gate_constraints(gates) -> int:
             n += nb + 5 + nb // logb
         elif g.kind in (NTTBF, NTTBF_INV):
             n += 2 * NTTBF_LANES
+        elif g.kind in (NTTBF4, NTTBF4_INV):
+            n += 4 * NTTBF4_LANES
+        elif g.kind == DOT:
+            n += g.lanes
+        elif g.kind == CSEL:
+            n += CSEL_LANES
         elif g.kind == POS1:
             n += 12 * HC.N_FULL_ROUNDS + HC.N_PARTIAL_ROUNDS
         elif g.kind in (CONST, PI):

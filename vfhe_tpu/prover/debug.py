@@ -20,7 +20,8 @@ from .constraints import eval_gate_stacked
 
 KIND_NAMES = {0: "NOOP", 1: "ARITH", 2: "BASESUM", 3: "POS1", 4: "CONST",
               5: "PI", 6: "SELECT", 7: "BASESUM_CANON", 8: "NTTBF",
-              9: "NTTBF_INV", 10: "DECOMP"}
+              9: "NTTBF_INV", 10: "DECOMP", 11: "NTTBF4",
+              12: "NTTBF4_INV", 13: "DOT", 14: "CSEL"}
 
 
 def check_witness(data: CircuitData, pw: PartialWitness,

@@ -82,6 +82,15 @@ def _load():
                                      ctypes.c_uint64, ctypes.c_uint64, u64p]
 
     L.set_poseidon_fast_partial.argtypes = [u64p, u64p, u64p, u64p]
+    # batch (thread-parallel) entry points for the batched verifier
+    L.poseidon_permute_batch.argtypes = [u64p, ctypes.c_uint64]
+    L.hash_no_pad_batch.argtypes = [u64p, ctypes.c_uint64,
+                                    ctypes.c_uint64, u64p]
+    L.merkle_paths_batch.argtypes = [u64p, ctypes.c_uint64, u64p,
+                                     ctypes.c_uint64, u64p,
+                                     ctypes.c_uint64, u64p]
+    L.hash_chain_batch.argtypes = [u64p, ctypes.c_uint64, ctypes.c_uint64,
+                                   ctypes.c_uint64, u64p]
 
     _inject_tables(L)
     lib = L
@@ -150,6 +159,80 @@ def permute(state) -> np.ndarray:
         return s
     from ..hashing import poseidon as HP
     return np.array(HP.permute_host([int(x) for x in s]), dtype=np.uint64)
+
+
+def permute_batch(states: np.ndarray) -> np.ndarray:
+    """(B, 12) -> (B, 12), each row permuted in place (threaded C++;
+    python fallback). The batched Fiat-Shamir challenger's inner op."""
+    s = np.ascontiguousarray(states, dtype=np.uint64).copy()
+    B = s.shape[0]
+    if lib is not None:
+        lib.poseidon_permute_batch(_ptr(s), B)
+        return s
+    from ..hashing import poseidon as HP
+    for i in range(B):
+        s[i] = HP.permute_host([int(x) for x in s[i]])
+    return s
+
+
+def hash_no_pad_batch(rows: np.ndarray) -> np.ndarray:
+    """(B, L) -> (B, 4) rate-8 sponge digests."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    B, L = rows.shape
+    out = np.zeros((B, 4), dtype=np.uint64)
+    if lib is not None:
+        lib.hash_no_pad_batch(_ptr(rows), L, B, _ptr(out))
+        return out
+    from ..hashing import poseidon as HP
+    for i in range(B):
+        out[i] = HP.hash_no_pad_host([int(x) for x in rows[i]])
+    return out
+
+
+def merkle_paths_batch(leaves: np.ndarray, siblings: np.ndarray,
+                       indices: np.ndarray) -> np.ndarray:
+    """leaves (P, W), siblings (P, L, 4), indices (P,) -> digests (P, 4).
+    One threaded C++ call for every path of one oracle across all
+    proofs/queries (python fallback loops merkle_path_digest)."""
+    leaves = np.ascontiguousarray(leaves, dtype=np.uint64)
+    sibs = np.ascontiguousarray(siblings, dtype=np.uint64)
+    idxs = np.ascontiguousarray(indices, dtype=np.uint64)
+    P, W = leaves.shape
+    L = sibs.shape[1]
+    out = np.zeros((P, 4), dtype=np.uint64)
+    if lib is not None:
+        lib.merkle_paths_batch(_ptr(leaves), W, _ptr(sibs), L,
+                               _ptr(idxs), P, _ptr(out))
+        return out
+    from ..hashing import poseidon as HP
+    for i in range(P):
+        dig = HP.hash_no_pad_host([int(x) for x in leaves[i]])
+        idx = int(idxs[i])
+        for s in range(L):
+            sib = [int(x) for x in sibs[i, s]]
+            l, r = (sib, dig) if idx & 1 else (dig, sib)
+            dig = HP.two_to_one_host(l, r)
+            idx >>= 1
+        out[i] = dig
+    return out
+
+
+def hash_chain_batch(blocks: np.ndarray, init=None) -> np.ndarray:
+    """blocks (B, n_blocks, block_len) -> (B, 4) final digests."""
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint64)
+    B, nb, bl = blocks.shape
+    state = np.zeros((B, 4), dtype=np.uint64) if init is None else \
+        np.ascontiguousarray(init, dtype=np.uint64).copy()
+    if lib is not None:
+        lib.hash_chain_batch(_ptr(blocks), B, nb, bl, _ptr(state))
+        return state
+    from ..hashing import poseidon as HP
+    for i in range(B):
+        h = [int(x) for x in state[i]]
+        for blk in blocks[i]:
+            h = HP.hash_no_pad_host(h + [int(x) for x in blk])
+        state[i] = h
+    return state
 
 
 _load()

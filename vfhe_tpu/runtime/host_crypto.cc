@@ -12,6 +12,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 using u64 = std::uint64_t;
 using u128 = unsigned __int128;
@@ -207,6 +209,37 @@ extern "C" void two_to_one(const u64* l, const u64* r, u64* out4) {
   std::memcpy(out4, state, 4 * sizeof(u64));
 }
 
+// --- batch variants (thread-parallel; the batched proof verifier's
+// host-side hashing: one ctypes call for B proofs x Q queries of paths
+// instead of per-path python dispatch) ---------------------------------
+
+template <typename F>
+static void parallel_for(u64 n, F f) {
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt > 16) nt = 16;
+  if (nt < 2 || n < 64) {
+    for (u64 i = 0; i < n; i++) f(i);
+    return;
+  }
+  std::vector<std::thread> ts;
+  u64 chunk = (n + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    u64 lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    ts.emplace_back([=] { for (u64 i = lo; i < hi; i++) f(i); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+extern "C" void poseidon_permute_batch(u64* states, u64 n) {
+  parallel_for(n, [=](u64 i) { poseidon_permute(states + 12 * i); });
+}
+
+extern "C" void hash_no_pad_batch(const u64* in, u64 len, u64 n,
+                                  u64* out) {
+  parallel_for(n, [=](u64 i) { hash_no_pad(in + len * i, len, out + 4 * i); });
+}
+
 // Merkle path verify: hash leaf_row (len w), fold siblings upward.
 // Returns the final digest in out4 (caller compares against the cap).
 extern "C" void merkle_path_digest(const u64* leaf, u64 leaf_len,
@@ -223,4 +256,28 @@ extern "C" void merkle_path_digest(const u64* leaf, u64 leaf_len,
     index >>= 1;
   }
   std::memcpy(out4, digest, sizeof(digest));
+}
+
+// Batch of Merkle path verifications, all with the same leaf width and
+// depth (one FRI/PLONK oracle across B proofs x Q queries).
+extern "C" void merkle_paths_batch(const u64* leaves, u64 leaf_len,
+                                   const u64* siblings, u64 n_sib,
+                                   const u64* indices, u64 n_paths,
+                                   u64* out) {
+  parallel_for(n_paths, [=](u64 i) {
+    merkle_path_digest(leaves + leaf_len * i, leaf_len,
+                       siblings + 4 * n_sib * i, n_sib, indices[i],
+                       out + 4 * i);
+  });
+}
+
+// Batch of independent hash chains (one per proof): chain c walks
+// n_blocks blocks of block_len, updating inout4 + 4*c in place.
+extern "C" void hash_chain_batch(const u64* blocks, u64 n_chains,
+                                 u64 n_blocks, u64 block_len,
+                                 u64* inout4) {
+  parallel_for(n_chains, [=](u64 c) {
+    hash_chain(blocks + c * n_blocks * block_len, n_blocks, block_len,
+               inout4 + 4 * c);
+  });
 }
