@@ -142,7 +142,8 @@ def main(argv=None) -> int:
         from vfhe_tpu.ivc.fastpath import verified_pbs_fast
         out_ct, proofs, sc = verified_pbs_fast(
             ct, testv, bsk, ksk, params, config=config,
-            batch_size=args.step_batch)
+            batch_size=args.step_batch,
+            checkpoint_dir=args.checkpoint_dir)
         log.info("proved %d steps (fast path, batch %d) in %.2fs",
                  len(proofs), args.step_batch, time.time() - t0)
         t0 = time.time()

@@ -132,11 +132,14 @@ def step_pi_values(step: int, p: VpbsParams, lay, acc_init_vals,
 
 def verified_pbs_fast(ct, testv, bsk, ksk, params: VpbsParams,
                       config: CircuitConfig = STANDARD_CONFIG,
-                      batch_size: int = 8):
+                      batch_size: int = 8,
+                      checkpoint_dir: str | None = None):
     """Prove one PBS with every step batched (native chain precompute).
 
     Returns (out_ct, proofs, step_circuit) — same contract as
-    verified_pbs; verify with verify_pbs."""
+    verified_pbs; verify with verify_pbs. ``checkpoint_dir``: persist
+    each step proof (same step_{i}.bin format as verified_pbs) and skip
+    already-proven steps on resume."""
     p = params
     sc = get_step_circuit(p, config)
     ct = np.asarray(ct, dtype=np.uint64)
@@ -176,15 +179,31 @@ def verified_pbs_fast(ct, testv, bsk, ksk, params: VpbsParams,
         return pw
 
     proofs = [None] * p.num_steps
-    batches = [list(range(s, min(s + batch_size, p.num_steps)))
-               for s in range(0, p.num_steps, batch_size)]
+    if checkpoint_dir:
+        import os
+        from ..prover.serialize import proof_to_bytes, proof_from_bytes
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        for i in range(p.num_steps):
+            path = os.path.join(checkpoint_dir, f"step_{i}.bin")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    proofs[i] = proof_from_bytes(f.read())
+        done = sum(pr is not None for pr in proofs)
+        if done:
+            log.info("fast path: resuming — %d/%d step proofs on disk",
+                     done, p.num_steps)
+    todo = [i for i in range(p.num_steps) if proofs[i] is None]
+    batches = [todo[s:s + batch_size]
+               for s in range(0, len(todo), batch_size)]
     with tt.scope("batched proving"):
         # host witness prep of batch k+1 overlaps the device phases of
         # batch k (numpy + the C++ sponge runtime release the GIL, and
         # prove_batch blocks in device fetches)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(lambda ix=batches[0]: [make_pw(i) for i in ix])
+            if batches:
+                fut = ex.submit(
+                    lambda ix=batches[0]: [make_pw(i) for i in ix])
             for bi, idxs in enumerate(batches):
                 pws = fut.result()
                 if bi + 1 < len(batches):
@@ -194,6 +213,12 @@ def verified_pbs_fast(ct, testv, bsk, ksk, params: VpbsParams,
                     batch = prove_batch(sc.data, pws, timing=tt)
                 for i, pr in zip(idxs, batch):
                     proofs[i] = pr
+                    if checkpoint_dir:
+                        path = os.path.join(checkpoint_dir,
+                                            f"step_{i}.bin")
+                        with open(path + ".tmp", "wb") as f:
+                            f.write(proof_to_bytes(pr))
+                        os.replace(path + ".tmp", path)
     tt.done()
 
     # consistency: circuit-produced chain values match the native ones
