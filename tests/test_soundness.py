@@ -264,3 +264,113 @@ def test_forged_arithmetic_output():
     pw.set_target(x, 6)
     pw.set_target(y, 7)
     _forge_and_expect_reject(data, pw, {z: 43})
+
+
+# --------------------------------------------------------------------- #
+# Round-3 packing gates: DOT, CSEL, NTTBF4 — the security-critical
+# lanes of the packed step circuit (the whole external product flows
+# through DOT, gadgets/ggsw_ct.py:51-80; the whole rotation barrel
+# through CSEL, gadgets/ops.py:30-58; every NTT stage through NTTBF4,
+# gadgets/ntt_gadget.py). Ref paths: ggsw_ct.rs:98-112, vtfhe/mod.rs:
+# 80-107, ntt/mod.rs:12-70.
+# --------------------------------------------------------------------- #
+
+
+def test_forged_dot_lane_sign_flip():
+    """out = x1*y1 - x2*y2 (signed DOT lane); claim the +,+ value."""
+    b = CircuitBuilder(TEST_CONFIG)
+    x1, x2 = b.add_virtual_target(), b.add_virtual_target()
+    y1, y2 = b.add_virtual_target(), b.add_virtual_target()
+    b.register_public_inputs([x1, x2, y1, y2])
+    out = b.dot_vec([x1, x2], [y1, y2], signs=[1, -1])
+    data = b.build()
+    pw = PartialWitness()
+    vals = {x1: 6, x2: 7, y1: 11, y2: 13}
+    for t, v in vals.items():
+        pw.set_target(t, v)
+    honest = (6 * 11 - 7 * 13) % gl.P
+    forged = (6 * 11 + 7 * 13) % gl.P
+    assert honest != forged
+    _forge_and_expect_reject(data, pw, {int(out.ravel()[0]): forged})
+
+
+def test_forged_csel_fused_negation():
+    """CSEL with neg=True (the negacyclic-wrap rotation select):
+    bit=1 must yield -x; forging the NON-negated select value +x —
+    exactly the wrap-sign attack on the rotation barrel — must be
+    rejected."""
+    b = CircuitBuilder(TEST_CONFIG)
+    bit = b.add_virtual_target()
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    b.register_public_inputs([bit, x, y])
+    b.assert_bool(bit)
+    out = b.csel_vec(bit, [x], [y], neg=True)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(bit, 1)
+    pw.set_target(x, 12345)
+    pw.set_target(y, 777)
+    # honest: -x mod p; forged: +x (what a plain select would give)
+    _forge_and_expect_reject(data, pw, {int(out.ravel()[0]): 12345})
+
+
+def test_forged_csel_plain_output():
+    """CSEL without negation: bit=0 must pass y through; forge x."""
+    b = CircuitBuilder(TEST_CONFIG)
+    bit = b.add_virtual_target()
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    b.register_public_inputs([bit, x, y])
+    b.assert_bool(bit)
+    out = b.csel_vec(bit, [x], [y], neg=False)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(bit, 0)
+    pw.set_target(x, 12345)
+    pw.set_target(y, 777)
+    _forge_and_expect_reject(data, pw, {int(out.ravel()[0]): 12345})
+
+
+def test_forged_nttbf4_output_limb():
+    """Radix-4 NTT butterfly lane: forge one of the four outputs."""
+    from vfhe_tpu.ntt.params import get_params
+    p8 = get_params(8)
+    b = CircuitBuilder(TEST_CONFIG)
+    ins = [b.add_virtual_target() for _ in range(4)]
+    b.register_public_inputs(ins)
+    tw = np.array([p8.roots[2]], dtype=np.uint64)   # a real stage twiddle
+    o0, o1, o2, o3 = b.ntt_butterfly4_vec([ins[0]], [ins[1]], [ins[2]],
+                                          [ins[3]], tw)
+    data = b.build()
+    pw = PartialWitness()
+    for t, v in zip(ins, (3, 1, 4, 1)):
+        pw.set_target(t, v)
+    # honest o1 = (A + s^2 C) - (sB + s^3 D); nudge it by 1
+    s = int(tw[0])
+    A, B, C, D = 3, 1, 4, 1
+    honest = (gl.h_mul(1, A + gl.h_mul(gl.h_mul(s, s), C))
+              - (gl.h_mul(s, B) + gl.h_mul(gl.h_mul(gl.h_mul(s, s), s), D))
+              ) % gl.P
+    _forge_and_expect_reject(data, pw,
+                             {int(o1.ravel()[0]): (honest + 1) % gl.P})
+
+
+def test_forged_nttbf4_inverse_output():
+    """Inverse radix-4 lane: forge o2 (= s^2((A+B) - (C+D)))."""
+    from vfhe_tpu.ntt.params import get_params
+    p8 = get_params(8)
+    b = CircuitBuilder(TEST_CONFIG)
+    ins = [b.add_virtual_target() for _ in range(4)]
+    b.register_public_inputs(ins)
+    tw = np.array([p8.invroots[2]], dtype=np.uint64)
+    o0, o1, o2, o3 = b.ntt_butterfly4_vec([ins[0]], [ins[1]], [ins[2]],
+                                          [ins[3]], tw, inverse=True)
+    data = b.build()
+    pw = PartialWitness()
+    for t, v in zip(ins, (3, 1, 4, 1)):
+        pw.set_target(t, v)
+    s = int(tw[0])
+    honest = gl.h_mul(gl.h_mul(s, s), ((3 + 1) - (4 + 1)) % gl.P)
+    _forge_and_expect_reject(data, pw,
+                             {int(o2.ravel()[0]): (honest + 1) % gl.P})
