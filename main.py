@@ -112,7 +112,8 @@ def main(argv=None) -> int:
         t0 = time.time()
         if args.recursive:
             out_cts, proofs, sc = verified_pbs_recursive_batch(
-                cts, testv, bsk, ksk, params, config=config)
+                cts, testv, bsk, ksk, params, config=config,
+                stage2_device=args.stage2_device)
             log.info("proved %d chains x %d steps (one O(1) proof each) "
                      "in %.2fs", B, params.num_steps, time.time() - t0)
             t0 = time.time()

@@ -195,3 +195,27 @@ def test_compute_bsk_shape_and_decrypt():
     out = ggsw.external_product(bsk[0], ct, logb)
     want = np.asarray(poly.scalar_mul(m, s_lwe[0]))
     assert (np.asarray(glwe.decrypt(out, s_glwe)) == want).all()
+
+
+def test_compute_bsk_batched_bit_identical():
+    """The vmapped one-dispatch compute_bsk must be bit-identical to the
+    sequential per-key-bit form (crypto/mod.rs:29-45 semantics) — both
+    with and without noise (the vmap lanes must consume exactly the
+    per-lane subkeys the eager loop would)."""
+    import jax
+    from vfhe_tpu.crypto import compute_bsk, poly, glwe, ggsw
+
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(13), 3)
+    n_lwe, N, K, ell, logb = 3, 8, 2, 2, 8
+    s_glwe = glwe.key_gen(k1, N, K)
+    s_lwe = glwe.flatten_partial_key(
+        glwe.partial_key(k2, n_lwe, N, K), n_lwe)
+    for sigma in (0.0, 1e-6):
+        got = np.asarray(compute_bsk(k0, s_lwe, s_glwe, sigma, ell, logb))
+        keys = jax.random.split(k0, n_lwe)
+        want = np.stack([
+            np.asarray(ggsw.ntt_forward(ggsw.encrypt(
+                keys[i], s_glwe, poly.constant(s_lwe[i], N), sigma,
+                ell, logb)))
+            for i in range(n_lwe)])
+        assert np.array_equal(got, want), f"sigma={sigma}"

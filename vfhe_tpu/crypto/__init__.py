@@ -4,6 +4,8 @@ circuits ... compute and set the inputs and retrieve the outputs")."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,19 +23,30 @@ def get_testv(p: int, delta, n: int) -> jnp.ndarray:
     return poly.left_shift(vals, block // 2)
 
 
+@functools.lru_cache(maxsize=8)
+def _bsk_fn(n: int, ell: int, logb: int, sigma: float):
+    """One jitted vmap over the LWE key bits: n_lwe GGSW encryptions +
+    forward NTTs as ONE device dispatch. The sequential form paid
+    ~5.8k eager dispatches through the remote-compile tunnel at paper
+    shape (~7 min); this is one compile + one launch, bit-identical
+    (each vmap lane sees the same subkey / shapes as the eager call —
+    pinned by test_compute_bsk_batched_bit_identical)."""
+    def one(subkey, s_bit, s_glwe):
+        m = poly.constant(s_bit, n)
+        return ggsw.ntt_forward(
+            ggsw.encrypt(subkey, s_glwe, m, sigma, ell, logb))
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
+
+
 def compute_bsk(key, s_lwe: jnp.ndarray, s_glwe: jnp.ndarray, sigma: float,
                 ell: int, logb: int) -> jnp.ndarray:
     """Bootstrapping key: one NTT-domain GGSW per LWE key bit
     (ref: crypto/mod.rs:29-45). Shape (n, K, ELL, K, N)."""
-    n_lwe = s_lwe.shape[0]
-    n = s_glwe.shape[-1]
+    n_lwe = int(s_lwe.shape[0])
+    n = int(s_glwe.shape[-1])
     keys = jax.random.split(key, n_lwe)
-    rows = []
-    for i in range(n_lwe):
-        m = poly.constant(s_lwe[i], n)
-        rows.append(ggsw.ntt_forward(
-            ggsw.encrypt(keys[i], s_glwe, m, sigma, ell, logb)))
-    return jnp.stack(rows, axis=0)
+    return _bsk_fn(n, ell, logb, float(sigma))(
+        keys, jnp.asarray(s_lwe), jnp.asarray(s_glwe))
 
 
 __all__ = ["poly", "lwe", "glwe", "glev", "ggsw", "get_testv", "compute_bsk"]
