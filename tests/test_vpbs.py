@@ -177,8 +177,11 @@ def test_paper_step_circuit_row_budget():
     2^13 trace rows (h doubles otherwise and EVERY prover phase with it
     — CLAUDE.md pitfall 7). 8,106 rows after the round-3 packing
     (NTTBF4 radix-4 butterflies, signed-DOT gadget-product lanes, CSEL
-    shared-bit rotation selects) — only ~1% margin, so any gadget
-    change that adds rows trips this on purpose."""
+    shared-bit rotation selects) — 86 rows (1.0%) of margin. DECISION
+    (round 4): 2^13 IS THE FLOOR — every named packing target is spent
+    (CLAUDE.md pitfall 7 lists them) and 2^12 would need >4,000 more
+    rows cut; a gadget change that adds rows must find an in-row
+    packing for them (POS1/DECOMP/CSEL pattern), not grow h."""
     from vfhe_tpu.circuit import STANDARD_CONFIG
     from vfhe_tpu.ivc.vpbs import get_step_circuit
     p = VpbsParams(n=2, N=1024, K=2, ELL=4, LOGB=5, p=2)

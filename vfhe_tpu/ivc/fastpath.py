@@ -209,6 +209,14 @@ def verified_pbs_fast(ct, testv, bsk, ksk, params: VpbsParams,
                 if bi + 1 < len(batches):
                     fut = ex.submit(
                         lambda ix=batches[bi + 1]: [make_pw(i) for i in ix])
+                if len(pws) < batch_size and p.num_steps > batch_size:
+                    # pad a partial batch (the 730 % 8 == 2 tail, or a
+                    # short resume) with copies of its last witness
+                    # (extra proofs discarded below): a second
+                    # prove_batch SHAPE would recompile the whole
+                    # pipeline (~10+ min cold on the remote service) —
+                    # padding rides the batch_size compile instead
+                    pws = pws + [pws[-1]] * (batch_size - len(pws))
                 with tt.scope(f"steps {idxs[0]}..{idxs[-1]}"):
                     batch = prove_batch(sc.data, pws, timing=tt)
                 for i, pr in zip(idxs, batch):
