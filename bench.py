@@ -132,6 +132,90 @@ def main() -> int:
         print(f"pallas skipped: {reason}", file=sys.stderr)
         extra("pallas_skipped", 1, reason)
 
+    # vPBS step-proof latency at PAPER shape (N=1024, K=2, ELL=4,
+    # LOGB=5, n=728; h=2^13 step circuit, standard 28-query/16-bit-PoW
+    # FRI config) — the prover-level metric the driver record lacked
+    # (VERDICT round 3, weak #2). Proves a REAL mid-chain step (step 1:
+    # rotation + external product against bsk[0]) three times warm.
+    # Soft-fails: any error or a 1500 s budget overrun degrades to an
+    # `extra: vpbs_step_latency_skipped` line, never kills the headline.
+    try:
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("step-latency budget exceeded")
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(1500)
+        t_sec = time.perf_counter()
+        from vfhe_tpu.crypto import (lwe as clwe, glwe as cglwe,
+                                     ggsw as cggsw, compute_bsk, get_testv)
+        from vfhe_tpu.circuit import STANDARD_CONFIG
+        from vfhe_tpu.hashing import poseidon as HPm
+        from vfhe_tpu.ivc import VpbsParams, get_step_circuit
+        from vfhe_tpu.ivc.fastpath import native_step
+        from vfhe_tpu.ivc.vpbs import make_step_witness
+        from vfhe_tpu.prover.batch import prove_batch
+
+        p = VpbsParams()                      # paper set (main.rs:22-30)
+        k1, k2, k3, k4, k6 = jax.random.split(jax.random.PRNGKey(0), 5)
+        s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+        s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+        s_glwe = cglwe.key_gen(k2, p.N, p.K)
+        bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+        ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+        delta = clwe.get_delta(2 * p.p)
+        testv = get_testv(p.p, delta, p.N)
+        ct = clwe.encrypt(k6, s_lwe, gl.h_mul(delta, 1), 0.0)
+        print(f"step-latency: key material {time.perf_counter()-t_sec:.1f}s",
+              file=sys.stderr)
+        sc = get_step_circuit(p, STANDARD_CONFIG)
+        print(f"step-latency: circuit built (h={sc.data.h}) "
+              f"{time.perf_counter()-t_sec:.1f}s", file=sys.stderr)
+        # 2-step native-chain prefix (only step 1's inputs are needed)
+        ct_np = np.asarray(ct, dtype=np.uint64)
+        dummy = cggsw.dummy_ct(p.N, p.K, p.ELL)
+        acc0 = jnp.asarray(np.concatenate(
+            [np.zeros((p.K - 1) * p.N, np.uint64),
+             np.asarray(testv)]).reshape(p.K, p.N))
+        acc1 = native_step(acc0, dummy, int(ct_np[p.n]), 1, p)
+        acc2 = native_step(acc1, bsk[0], int(ct_np[0]), 2, p)
+        bsk_digs, lwe_digs = [], []
+        hb = lw = [0, 0, 0, 0]
+        for g, mask in ((dummy, int(ct_np[p.n])), (bsk[0], int(ct_np[0]))):
+            hb = HPm.hash_no_pad_host(
+                list(hb) + [int(x) for x in np.asarray(g).reshape(-1)])
+            lw = HPm.hash_no_pad_host(list(lw) + [mask])
+            bsk_digs.append(list(hb))
+            lwe_digs.append(list(lw))
+        natives = ([acc0, acc1, acc2], bsk_digs, lwe_digs)
+        pw = make_step_witness(sc, 1, ct_np, testv, bsk, ksk,
+                               natives=natives)
+        # batch of 8 (the fast path's production shape — what the full
+        # 730-step run compiles and runs); s/step = batch time / 8
+        pws = [pw] * 8
+        proofs = prove_batch(sc.data, pws)    # compile + warmup
+        print(f"step-latency: first batch (compile) "
+              f"{time.perf_counter()-t_sec:.1f}s", file=sys.stderr)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            proofs = prove_batch(sc.data, pws)
+            times.append(time.perf_counter() - t0)
+        signal.alarm(0)
+        lat = sorted(times)[1] / 8
+        extra("vpbs_step_latency_s", lat, "s/step (paper shape, h=2^13, "
+              "standard config, batch-8 fast path, warm, one v5e chip)")
+        extra("vpbs_projected_full_chain_s", lat * p.num_steps,
+              "s (730 steps, single-chip fast-path projection; measured "
+              "full run: BENCH_EXTRA.md)")
+        print(f"step-latency: batch8 {times} -> {lat:.2f} s/step",
+              file=sys.stderr)
+    except Exception as e:                                  # noqa: BLE001
+        signal.alarm(0)
+        reason = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
+        print(f"step-latency skipped: {reason}", file=sys.stderr)
+        extra("vpbs_step_latency_skipped", 1, reason)
+
     print(json.dumps({
         "metric": f"goldilocks_negacyclic_ntt_butterflies_per_s_N{n}",
         "value": rate,

@@ -20,8 +20,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: tiny uint64 kernels dominate wall time otherwise
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_vfhe")
+# persistent compile cache: tiny uint64 kernels dominate wall time
+# otherwise. The dir is keyed on the host CPU's feature flags: XLA:CPU
+# AOT entries compiled on a DIFFERENT machine SIGILL/SEGV when loaded
+# (a previous round's cache segfaulted this suite mid-run).
+from vfhe_tpu import _host_cpu_fingerprint
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/root/.cache/jax_vfhe_{_host_cpu_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 

@@ -36,9 +36,40 @@ _jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: prover kernels are compiled once per circuit
 # shape, and (remote) TPU compiles are expensive — cache them across
 # processes unless the user already configured a cache.
+
+
+def _host_cpu_fingerprint() -> str:
+    """Cache-dir suffix tied to the host CPU's feature set. XLA:CPU AOT
+    cache entries encode the COMPILE machine's features; loading them on
+    a host without those features SIGILL/SEGVs (observed: a stale cache
+    from a previous sandbox machine segfaulted the test suite mid-run).
+    Keying the dir on the feature flags makes a new machine start clean
+    instead of crashing."""
+    try:
+        import hashlib
+        import re
+        txt = open("/proc/cpuinfo").read()
+        m = re.search(r"^flags\s*:\s*(.*)$", txt, re.M)
+        if m:
+            return hashlib.sha1(m.group(1).encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 if _jax.config.jax_compilation_cache_dir is None:
+    # TPU binaries from the remote compile service are host-independent
+    # -> one shared warm dir. CPU (in-process AOT) entries are host-CPU-
+    # specific -> fingerprinted dir, fresh on a new machine.
+    # (the axon plugin registers as "axon,cpu" — only a pure-cpu
+    # selection means the in-process CPU backend will run the kernels)
+    _plats = str(getattr(_jax.config, "jax_platforms", "") or "")
+    if _plats.split(",")[0].strip() == "cpu":
+        _cache_dir = f"~/.cache/vfhe_tpu_jax_cpu_{_host_cpu_fingerprint()}"
+    else:
+        _cache_dir = "~/.cache/vfhe_tpu_jax"
     _jax.config.update("jax_compilation_cache_dir",
-                       _os.path.expanduser("~/.cache/vfhe_tpu_jax"))
+                       _os.path.expanduser(_cache_dir))
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
