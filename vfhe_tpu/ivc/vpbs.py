@@ -721,10 +721,12 @@ def verify_pbs_recursive(out_ct, ct, testv, bsk, ksk, proof,
             "cyclic verifier data mismatch"
 
     # hash chains bind the bsk / ksk and the LWE ciphertext (ivc:459-481)
+    bsk_host = np.asarray(bsk)   # ONE device fetch, not n per-row
+    #                              round-trips (CLAUDE.md pitfall 5)
     bsk_data = [np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL)).reshape(-1)]
     lwe_data = [[int(ct[p.n])]]
     for i in range(p.n):
-        bsk_data.append(np.asarray(bsk[i]).reshape(-1))
+        bsk_data.append(bsk_host[i].reshape(-1))
         lwe_data.append([int(ct[i])])
     bsk_data.append(np.asarray(ksk).reshape(-1))
     lwe_data.append([0])
@@ -1009,8 +1011,11 @@ def verify_hash_output(hash_data, claimed) -> bool:
     from .. import runtime
     lens = {len(b) for b in hash_data}
     if runtime.lib is not None and len(lens) == 1:
-        blocks = np.asarray([[int(x) for x in b] for b in hash_data],
-                            dtype=np.uint64)
+        # np.stack, NOT a python int() round-trip per element: the bsk
+        # chain is 730 x 16,384 u64 at paper shape and the conversion
+        # (~12M int() calls, ~30 s) dwarfed the actual C++ hashing
+        blocks = np.stack([np.asarray(b, dtype=np.uint64).ravel()
+                           for b in hash_data])
         h = runtime.hash_chain(blocks)
         return [int(x) for x in h] == [int(x) for x in claimed]
     h = [0, 0, 0, 0]
@@ -1077,10 +1082,12 @@ def verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc: StepCircuit) -> None:
                         _pis(prev, lay.lwe_hash_out)).all()
 
     # hash chains bind the bsk / ksk and the LWE ciphertext (ivc:459-481)
+    bsk_host = np.asarray(bsk)   # ONE device fetch, not n per-row
+    #                              round-trips (CLAUDE.md pitfall 5)
     bsk_data = [np.asarray(cggsw.dummy_ct(p.N, p.K, p.ELL)).reshape(-1)]
     lwe_data = [[int(ct[p.n])]]
     for i in range(p.n):
-        bsk_data.append(np.asarray(bsk[i]).reshape(-1))
+        bsk_data.append(bsk_host[i].reshape(-1))
         lwe_data.append([int(ct[i])])
     bsk_data.append(np.asarray(ksk).reshape(-1))
     lwe_data.append([0])

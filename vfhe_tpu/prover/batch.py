@@ -362,68 +362,76 @@ def prove_batch(data: CircuitData, pws: list, timing=None,
     with tt.scope("fri pow + queries"):
         proofs = []
         main_trees = [None, wires_tree, aux_tree, quot_tree]
+        with tt.scope("pow grind"):
+            # batched across instances: async-pipelined dispatches,
+            # bit-identical witnesses (same per-instance scan order)
+            pow_witnesses = fri.grind_batch(chs, fcfg.pow_bits)
+            for b in range(B):
+                assert fri.check_pow(chs[b], pow_witnesses[b],
+                                     fcfg.pow_bits)
         # stage every instance's gathers, then ONE device->host transfer
-        staged = []
-        for b in range(B):
-            pow_witness = fri.grind(chs[b], fcfg.pow_bits)
-            assert fri.check_pow(chs[b], pow_witness, fcfg.pow_bits)
-            indices = chs[b].sample_indices(int(np.log2(n_lde)),
-                                            fcfg.num_queries)
-            reduced = [np.asarray(indices)]
-            for nn in sizes:
-                reduced.append(reduced[-1] % (nn // 4))
-            fetches = (
-                [batched_open_paths_gather(tree, b, reduced[li + 1])
-                 for li, tree in enumerate(fri_trees)]
-                + [merkle.open_paths_gather(pre["tree"], indices)]
-                + [batched_open_paths_gather(tree, b, indices)
-                   for tree in main_trees[1:]])
-            staged.append((pow_witness, indices, reduced, fetches))
-        all_hosts = jax.device_get([s[3] for s in staged])
-        for b in range(B):
-            pow_witness, indices, reduced, _ = staged[b]
-            hosts = all_hosts[b]
-            nf = len(fri_trees)
-            per_layer = [merkle.open_paths_finish(hosts[li],
-                                                  reduced[li + 1])
-                         for li in range(nf)]
-            fri_rounds = []
-            for qi in range(len(indices)):
-                layers = [fri.FriLayerOpening(
-                    leaf=per_layer[li][qi][0].reshape(4, 2),
-                    siblings=per_layer[li][qi][1])
-                    for li in range(nf)]
-                fri_rounds.append(fri.FriQueryRound(layers=layers))
+        with tt.scope("query gathers + fetch"):
+            staged = []
+            for b in range(B):
+                pow_witness = pow_witnesses[b]
+                indices = chs[b].sample_indices(int(np.log2(n_lde)),
+                                                fcfg.num_queries)
+                reduced = [np.asarray(indices)]
+                for nn in sizes:
+                    reduced.append(reduced[-1] % (nn // 4))
+                fetches = (
+                    [batched_open_paths_gather(tree, b, reduced[li + 1])
+                     for li, tree in enumerate(fri_trees)]
+                    + [merkle.open_paths_gather(pre["tree"], indices)]
+                    + [batched_open_paths_gather(tree, b, indices)
+                       for tree in main_trees[1:]])
+                staged.append((pow_witness, indices, reduced, fetches))
+            all_hosts = jax.device_get([s[3] for s in staged])
+        with tt.scope("proof assembly"):
+            for b in range(B):
+                pow_witness, indices, reduced, _ = staged[b]
+                hosts = all_hosts[b]
+                nf = len(fri_trees)
+                per_layer = [merkle.open_paths_finish(hosts[li],
+                                                      reduced[li + 1])
+                             for li in range(nf)]
+                fri_rounds = []
+                for qi in range(len(indices)):
+                    layers = [fri.FriLayerOpening(
+                        leaf=per_layer[li][qi][0].reshape(4, 2),
+                        siblings=per_layer[li][qi][1])
+                        for li in range(nf)]
+                    fri_rounds.append(fri.FriQueryRound(layers=layers))
 
-            # oracle 0 (preprocessed) is shared across instances
-            pre_paths = merkle.open_paths_finish(hosts[nf], indices)
-            inst_paths = [merkle.open_paths_finish(hosts[nf + 1 + t],
-                                                   indices)
-                          for t in range(3)]
-            query_openings = []
-            for qi in range(len(indices)):
-                leaves = [pre_paths[qi][0]] + \
-                    [ip[qi][0] for ip in inst_paths]
-                sibs = [pre_paths[qi][1]] + [ip[qi][1] for ip in inst_paths]
-                query_openings.append(QueryOpening(leaves=leaves,
-                                                   siblings=sibs))
+                # oracle 0 (preprocessed) is shared across instances
+                pre_paths = merkle.open_paths_finish(hosts[nf], indices)
+                inst_paths = [merkle.open_paths_finish(hosts[nf + 1 + t],
+                                                       indices)
+                              for t in range(3)]
+                query_openings = []
+                for qi in range(len(indices)):
+                    leaves = [pre_paths[qi][0]] + \
+                        [ip[qi][0] for ip in inst_paths]
+                    sibs = [pre_paths[qi][1]] + [ip[qi][1] for ip in inst_paths]
+                    query_openings.append(QueryOpening(leaves=leaves,
+                                                       siblings=sibs))
 
-            openings = [OracleOpening(open_z[b, bounds[i]:bounds[i + 1]],
-                                      open_gz[b, bounds[i]:bounds[i + 1]])
-                        for i in range(4)]
-            proofs.append(Proof(
-                public_inputs=pis[b],
-                wires_cap=wires_tree.caps[b],
-                aux_cap=aux_tree.caps[b],
-                quotient_cap=quot_tree.caps[b],
-                openings=openings,
-                fri_caps=[t.caps[b] for t in fri_trees],
-                fri_final_coeffs=final_coeffs[b],
-                pow_witness=pow_witness,
-                query_indices=indices,
-                query_openings=query_openings,
-                fri_query_rounds=fri_rounds,
-            ))
+                openings = [OracleOpening(open_z[b, bounds[i]:bounds[i + 1]],
+                                          open_gz[b, bounds[i]:bounds[i + 1]])
+                            for i in range(4)]
+                proofs.append(Proof(
+                    public_inputs=pis[b],
+                    wires_cap=wires_tree.caps[b],
+                    aux_cap=aux_tree.caps[b],
+                    quotient_cap=quot_tree.caps[b],
+                    openings=openings,
+                    fri_caps=[t.caps[b] for t in fri_trees],
+                    fri_final_coeffs=final_coeffs[b],
+                    pow_witness=pow_witness,
+                    query_indices=indices,
+                    query_openings=query_openings,
+                    fri_query_rounds=fri_rounds,
+                ))
     if timing is None:
         tt.done()
     return proofs
