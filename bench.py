@@ -103,34 +103,14 @@ def main() -> int:
     extra("mulmod_effective_hbm_bandwidth", 24 * a.size * iters / dtm,
           "B/s")
 
-    # Pallas-vs-XLA lowering check (CLAUDE.md pitfall 8): same mulmod
-    # algorithm in explicit u32 lanes. HBM-bound single mul and a
-    # compute-bound in-register square chain. Skipped off-TPU.
-    try:
-        from vfhe_tpu.field import pallas_gl as pgl
-        if jax.devices()[0].platform != "cpu":
-            (pgl.mulmod(a, x).block_until_ready())
-            dtpal = _time(lambda: pgl.mulmod(a, x), iters)
-            extra("pallas_mulmod_per_s", a.size * iters / dtpal, "mulmods/s")
-            chain = 8
-            dtc_p = _time(lambda: pgl.mulmod(a, x, chain=chain), iters)
-
-            def xla_chain():
-                w = mul(a, x)
-                for _ in range(chain - 1):
-                    w = mul(w, w)
-                return w
-            xla_chain_j = jax.jit(xla_chain)
-            dtc_x = _time(xla_chain_j, iters)
-            extra("pallas_mulmod_chain8_per_s",
-                  a.size * chain * iters / dtc_p, "mulmods/s")
-            extra("xla_mulmod_chain8_per_s",
-                  a.size * chain * iters / dtc_x, "mulmods/s")
-    except Exception as e:                                  # noqa: BLE001
-        # ONE clean line, not a Mosaic error dump (round-2 verdict)
-        reason = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
-        print(f"pallas skipped: {reason}", file=sys.stderr)
-        extra("pallas_skipped", 1, reason)
+    # Pallas: RETIRED in round 4. This environment's remote TPU compile
+    # service rejects every Mosaic kernel (HTTP 500 "tpu_compile_helper
+    # subprocess exit code 1" — observed rounds 2, 3 and 4), so the
+    # 2x32-limb pallas mulmod never produced a hardware number in three
+    # rounds; XLA's fusion already holds both NTT and Poseidon at the
+    # VPU roofline (BENCH_EXTRA.md), leaving a hand kernel no headroom.
+    # The kernel lives in git history (vfhe_tpu/field/pallas_gl.py,
+    # removed round 4) for when the service learns Mosaic.
 
     # vPBS step-proof latency at PAPER shape (N=1024, K=2, ELL=4,
     # LOGB=5, n=728; h=2^13 step circuit, standard 28-query/16-bit-PoW

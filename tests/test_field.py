@@ -124,27 +124,3 @@ def test_extension_frobenius(rng):
     got = np.asarray(ext.frobenius(a))
     want = np.asarray(ext.pow_const(a, P))
     assert (got == want).all()
-
-
-def test_pallas_mulmod_matches_xla():
-    """The Pallas 2x32-limb mulmod kernel (field/pallas_gl.py) is
-    bit-exact against the canonical jnp path, incl. reduction edges
-    (interpret mode: Mosaic is TPU-only, CI runs on CPU)."""
-    import numpy as np
-    import jax.numpy as jnp
-    from vfhe_tpu.field import goldilocks as gl, pallas_gl as pgl
-    rng = np.random.default_rng(11)
-    a = jnp.asarray(rng.integers(0, gl.P, (64, 128), dtype=np.uint64))
-    b = jnp.asarray(rng.integers(0, gl.P, (64, 128), dtype=np.uint64))
-    assert (np.asarray(pgl.mulmod(a, b, interpret=True))
-            == np.asarray(gl.mul(a, b))).all()
-    edges = np.array([0, 1, gl.P - 1, (1 << 32) - 1, 1 << 32,
-                      0xFFFFFFFF00000000, gl.P - 2, 12345],
-                     dtype=np.uint64)
-    e = jnp.asarray(np.tile(edges, (8, 16)))
-    f = jnp.asarray(np.tile(edges[::-1].copy(), (8, 16)))
-    got = pgl.mulmod(e, f, chain=3, interpret=True)
-    w = gl.mul(e, f)
-    w = gl.mul(w, w)
-    w = gl.mul(w, w)
-    assert (np.asarray(got) == np.asarray(w)).all()
