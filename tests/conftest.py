@@ -15,6 +15,31 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# The suite loads MANY circuits per process; the raw-PJRT witness-fn
+# executable cache segfaults on cross-module symbol clashes in exactly
+# that situation (see compile.py _resolve). The jax compile cache below
+# still dedupes the XLA compiles.
+os.environ["VFHE_WFN_EXE_CACHE"] = "0"
+
+# A full-suite process accumulates ~40k+ mmap regions (hundreds of
+# XLA:CPU executables + their constant buffers); the kernel default
+# vm.max_map_count=65530 is then exhausted mid-compile of the big
+# recursive-verifier witness and the process dies with an
+# uncatchable SIGSEGV/abort (three such crashes diagnosed round 4 —
+# at cache read, at backend_compile, at executable load). Raise the
+# limit BEFORE running:  sysctl -w vm.max_map_count=1048576
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _mmc = int(_f.read())
+    if _mmc < 200_000:
+        import warnings
+        warnings.warn(
+            f"vm.max_map_count={_mmc} is too low for the full suite "
+            "(it exhausts ~40k+ maps and SEGFAULTS at the "
+            "recursive-verifier tests). Run: "
+            "sysctl -w vm.max_map_count=1048576", stacklevel=0)
+except OSError:
+    pass
 
 import jax
 

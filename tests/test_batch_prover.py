@@ -34,6 +34,7 @@ def _pw(x, y, vx, vy):
     return pw
 
 
+@pytest.mark.heavy
 def test_batch_matches_single(circuit):
     data, x, y = circuit
     single = prove(data, _pw(x, y, 3, 7))
@@ -51,6 +52,7 @@ def test_batch_matches_single(circuit):
     assert (b0.query_indices == single.query_indices).all()
 
 
+@pytest.mark.heavy
 def test_batch_all_verify(circuit):
     data, x, y = circuit
     vk = preprocess(data)["vk"]

@@ -27,6 +27,7 @@ def test_sharded_ntt_matches_single(rng):
     assert (got == want).all()
 
 
+@pytest.mark.heavy
 def test_batched_step_core_sharded(rng):
     from vfhe_tpu.circuit import TEST_CONFIG
     from vfhe_tpu.ivc import TEST_PARAMS, get_step_circuit
@@ -76,6 +77,7 @@ def test_dist_ntt_roundtrip(rng):
     assert (y == np.asarray(x)).all()
 
 
+@pytest.mark.heavy
 def test_prove_batch_on_mesh(rng):
     """Full proof pipeline (witness -> FRI -> PoW -> query openings) on
     the REAL TEST_PARAMS step circuit with the batch on the dp axis;

@@ -134,6 +134,7 @@ def test_second_proof_different_witness(mini):
     assert int(proof.public_inputs[3]) == 1  # 5 == 5
 
 
+@pytest.mark.heavy
 def test_precomputed_sponge_witness_bit_identical():
     """PartialWitness.precompute_sponges + witness_fn_pre must produce the
     SAME witness (and thus the same proof transcript) as the sequential

@@ -69,6 +69,7 @@ def test_recursive_challenger_matches_native(rng):
     assert [int(w[t]) for t in e] == [int(v) for v in ne]
 
 
+@pytest.mark.heavy
 def test_chained_sponge_precompute_bitexact(rng):
     """The host-side sponge precompute must CHAIN through duplex sponges
     (each absorb's init is the previous absorb's final state) and through

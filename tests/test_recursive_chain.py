@@ -138,6 +138,7 @@ def test_recursive_batch_chains():
     assert (proof_s.public_inputs == proofs[0].public_inputs).all()
 
 
+@pytest.mark.heavy
 def test_staged_witness_bitexact(rng):
     """stage2(scatter(stage1(w0))) must be bit-identical to the one-shot
     precomputed-sponge witness on the full assignment — and stage1's
@@ -206,6 +207,7 @@ def test_staged_witness_bitexact(rng):
         assert np.array_equal(w_chunked, w_ref), n_chunks
 
 
+@pytest.mark.heavy
 def test_recursive_vpbs_smoke():
     """Fast (non-slow) end-to-end cyclic IVC: the FULL recursive chain —
     staged witness, fixpoint circuit, in-circuit verification of the
@@ -235,6 +237,7 @@ def test_recursive_vpbs_smoke():
     check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)
 
 
+@pytest.mark.heavy
 def test_recursive_stage2_device_bitexact():
     """`stage2_device=True` — the chunked DEVICE stage-2 witness
     (compile_witness_device_chunked) — must be bit-identical to the

@@ -22,6 +22,9 @@ gates and VERDICT round 1 flagged as unreviewed:
 
 import dataclasses
 
+# every forging test proves a real (if tiny) circuit: minutes in sum
+pytestmark = __import__("pytest").mark.heavy
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -495,6 +495,15 @@ class _LazyExportCached:
         root = jax.config.jax_compilation_cache_dir
         if not root:
             return self.raw
+        if os.environ.get("VFHE_WFN_EXE_CACHE", "1") == "0":
+            # kill switch for MULTI-CIRCUIT processes (the test suite):
+            # deserializing a PJRT executable into a process that has
+            # already loaded other witness executables can SEGFAULT on
+            # symbol clashes (three suite runs crashed at the same
+            # deserialize+probe; every standalone run passes). The jit
+            # path still hits the persistent jax compile cache — only
+            # tracing is re-paid.
+            return self.raw
         plat = self._platforms[0] if self._platforms \
             else jax.default_backend()
         try:
