@@ -1,0 +1,197 @@
+"""Batched verifier (prover/verify_batch) vs the scalar verifier.
+
+The batched verifier must accept exactly what verify() accepts and
+reject exactly what verify() rejects — same transcript, same PLONK
+identity, same FRI walk — just restated over a batch axis.  Each check
+family gets a forging test that pins the failure to the right proof
+index.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from vfhe_tpu.circuit import CircuitBuilder, PartialWitness, TEST_CONFIG
+from vfhe_tpu.prover import prove, preprocess, verify, VerificationError
+from vfhe_tpu.prover.verify_batch import verify_batch
+
+
+def _mini_circuit():
+    b = CircuitBuilder(TEST_CONFIG)
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    b.register_public_input(x)
+    b.register_public_input(y)
+    z = b.mul(x, y)
+    w = b.add(z, b.constant(5))
+    b.register_public_input(w)
+    bits = b.split_le(w, 64)
+    s = b.le_sum(bits)
+    b.connect(s, w)
+    hh = b.hash_n_to_hash_no_pad([x, y, z, w])
+    b.register_public_inputs(hh)
+    return b, x, y
+
+
+@pytest.fixture(scope="module")
+def chain():
+    b, x, y = _mini_circuit()
+    data = b.build()
+    proofs = []
+    for xv, yv in [(3, 7), (11, 13), (2, 9)]:
+        pw = PartialWitness()
+        pw.set_target(x, xv)
+        pw.set_target(y, yv)
+        proofs.append(prove(data, pw))
+    vk = preprocess(data)["vk"]
+    return vk, proofs
+
+
+def test_batch_accepts_what_scalar_accepts(chain):
+    vk, proofs = chain
+    for p in proofs:
+        verify(vk, p)
+    verify_batch(vk, proofs)            # must not raise
+
+
+def test_single_proof_batch(chain):
+    vk, proofs = chain
+    verify_batch(vk, proofs[:1])
+
+
+def _forged(proof, **changes):
+    return dataclasses.replace(proof, **changes)
+
+
+def test_tampered_public_input_rejected(chain):
+    vk, proofs = chain
+    pis = np.array(proofs[1].public_inputs, dtype=np.uint64)
+    pis[0] ^= np.uint64(1)
+    bad = [proofs[0], _forged(proofs[1], public_inputs=pis), proofs[2]]
+    with pytest.raises(VerificationError, match="proof 1"):
+        verify_batch(vk, bad)
+
+
+def test_tampered_opening_rejected(chain):
+    vk, proofs = chain
+    op = [dataclasses.replace(o) for o in proofs[2].openings]
+    at_zeta = np.array(op[1].at_zeta, dtype=np.uint64)
+    at_zeta[0, 0] ^= np.uint64(1)
+    op[1] = dataclasses.replace(op[1], at_zeta=at_zeta)
+    bad = [proofs[0], proofs[1], _forged(proofs[2], openings=op)]
+    with pytest.raises(VerificationError, match="proof 2"):
+        verify_batch(vk, bad)
+
+
+def test_tampered_pow_rejected(chain):
+    vk, proofs = chain
+    bad = [_forged(proofs[0], pow_witness=int(proofs[0].pow_witness) + 1),
+           proofs[1]]
+    with pytest.raises(VerificationError, match="proof 0"):
+        verify_batch(vk, bad)
+
+
+def test_tampered_merkle_sibling_rejected(chain):
+    vk, proofs = chain
+    import copy
+    qo = copy.deepcopy(proofs[1].query_openings)
+    sib = np.array(qo[0].siblings[1], dtype=np.uint64)
+    sib[0, 0] ^= np.uint64(1)
+    qo[0].siblings[1] = sib
+    bad = [proofs[0], _forged(proofs[1], query_openings=qo)]
+    with pytest.raises(VerificationError,
+                       match="proof 1: oracle merkle paths"):
+        verify_batch(vk, bad)
+
+
+def test_tampered_fri_leaf_rejected(chain):
+    vk, proofs = chain
+    import copy
+    fr = copy.deepcopy(proofs[0].fri_query_rounds)
+    leaf = np.array(fr[0].layers[0].leaf, dtype=np.uint64)
+    leaf[0, 0] ^= np.uint64(1)
+    fr[0].layers[0].leaf = leaf
+    bad = [_forged(proofs[0], fri_query_rounds=fr), proofs[1]]
+    with pytest.raises(VerificationError, match="proof 0"):
+        verify_batch(vk, bad)
+
+
+def test_tampered_final_poly_rejected(chain):
+    vk, proofs = chain
+    fc = np.array(proofs[1].fri_final_coeffs, dtype=np.uint64)
+    fc[0, 0] = (int(fc[0, 0]) + 1) % ((1 << 64) - (1 << 32) + 1)
+    bad = [proofs[0], _forged(proofs[1], fri_final_coeffs=fc)]
+    with pytest.raises(VerificationError, match="proof 1"):
+        verify_batch(vk, bad)
+
+
+def test_wrong_query_indices_rejected(chain):
+    vk, proofs = chain
+    qi = np.array(proofs[0].query_indices)
+    qi[0] ^= 1
+    bad = [_forged(proofs[0], query_indices=qi)]
+    with pytest.raises(VerificationError, match="proof 0"):
+        verify_batch(vk, bad)
+
+
+def test_ext_eval_matches_host():
+    """_eval_gates_ext vs the host scalar evaluator (hf.HostExtOps) for
+    EVERY gate kind on random ext values — pins constraint values AND
+    order for the kinds the mini circuit doesn't instantiate (DECOMP,
+    NTTBF4, DOT, CSEL, BASESUM_CANON, NTTBF)."""
+    import jax.numpy as jnp
+    from vfhe_tpu.circuit.builder import (GateInstance, ARITH, BASESUM,
+                                          BASESUM_CANON, SELECT, NTTBF,
+                                          NTTBF_INV, DECOMP, NTTBF4,
+                                          NTTBF4_INV, DOT, CSEL, POS1,
+                                          CONST, PI)
+    from vfhe_tpu.circuit import STANDARD_CONFIG as CFG
+    from vfhe_tpu.field import host as hf
+    from vfhe_tpu.field import goldilocks as gl
+    from vfhe_tpu.prover.constraints import eval_gate
+    from vfhe_tpu.prover.verify_batch import _eval_gates_ext
+
+    gates = [
+        GateInstance(ARITH),
+        GateInstance(BASESUM, param=8, lanes=2),
+        GateInstance(BASESUM_CANON, param=65, lanes=1),
+        GateInstance(SELECT),
+        GateInstance(NTTBF),
+        GateInstance(NTTBF_INV),
+        GateInstance(DECOMP, param=(65 << 8) | 5),
+        GateInstance(NTTBF4),
+        GateInstance(NTTBF4_INV),
+        GateInstance(DOT, param=(0b1010 << 8) | 4, lanes=3),
+        GateInstance(CSEL),
+        GateInstance(CSEL, param=1),
+        GateInstance(POS1),
+        GateInstance(CONST),
+        GateInstance(PI),
+    ]
+    rng = np.random.default_rng(7)
+    B = 2
+    wires = rng.integers(0, gl.P, (CFG.num_wires, B, 2), dtype=np.uint64)
+    consts = rng.integers(0, gl.P, (CFG.num_constants, B, 2),
+                          dtype=np.uint64)
+    pi_hash = rng.integers(0, gl.P, (B, 4), dtype=np.uint64)
+
+    got, counts = _eval_gates_ext(
+        gates,
+        (jnp.asarray(wires[..., 0]), jnp.asarray(wires[..., 1])),
+        (jnp.asarray(consts[..., 0]), jnp.asarray(consts[..., 1])),
+        jnp.asarray(pi_hash))
+    got = np.asarray(got)                              # (B, T, 2)
+
+    for b in range(B):
+        hw = [hf.from_array(wires[i, b]) for i in range(CFG.num_wires)]
+        hc = [hf.from_array(consts[i, b])
+              for i in range(CFG.num_constants)]
+        hp = [hf.ext(int(x)) for x in pi_hash[b]]
+        want = []
+        for g in gates:
+            want.extend(eval_gate(g, hf.HostExtOps, hw, hc, hp))
+        assert len(want) == got.shape[1] == sum(counts)
+        for t, wv in enumerate(want):
+            assert (int(got[b, t, 0]), int(got[b, t, 1])) == \
+                (int(wv[0]), int(wv[1])), f"proof {b} constraint {t}"

@@ -62,6 +62,11 @@ from ..utils.timing import TimingTree
 
 log = logging.getLogger("vfhe_tpu")
 
+# chain length at which verify_pbs switches from the scalar verifier to
+# the batched one (prover/verify_batch): below this a fresh jit of the
+# batched pipeline costs more than the scalar loop it replaces
+BATCH_VERIFY_MIN = 16
+
 
 @dataclass(frozen=True)
 class VpbsParams:
@@ -1048,21 +1053,23 @@ def verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc: StepCircuit) -> None:
             _pis(final, lay.latest_acc)).all()
 
     with tt.scope("verifying step proofs"):
-        # one batched PI-hash call for the whole chain (identical PI
-        # widths), then thread-parallel per-proof verification — the
-        # scalar transcript/merkle work is C++/numpy and releases the
-        # GIL, so threads scale it (round-2 verdict: a 730-proof chain
-        # must verify in seconds, not minutes)
-        from concurrent.futures import ThreadPoolExecutor
-        import os as _os
-        pis = jnp.asarray(np.stack([np.asarray(pr.public_inputs,
-                                               np.uint64)
-                                    for pr in proofs]))
-        pi_hashes = np.asarray(HP.hash_no_pad_jit(pis))
-        nw = min(8, _os.cpu_count() or 1)
-        with ThreadPoolExecutor(max_workers=nw) as ex:
-            list(ex.map(lambda a: verify(vk, a[0], pi_hash=a[1]),
-                        zip(proofs, pi_hashes)))
+        # ONE batched device call verifies the whole chain: transcript
+        # replay, PLONK identity and FRI walk for all proofs run as one
+        # compiled pipeline (prover/verify_batch). The per-proof scalar
+        # verifier cost ~100 ms of GIL-bound Python each — a 730-step
+        # chain took minutes; the batch axis takes seconds. Short
+        # chains (tests, the multichip dryrun) stay on the scalar
+        # verifier: a fresh jit would cost more than it saves.
+        if len(proofs) >= BATCH_VERIFY_MIN:
+            from ..prover.verify_batch import verify_batch
+            verify_batch(vk, proofs)
+        else:
+            pis = jnp.asarray(np.stack([np.asarray(pr.public_inputs,
+                                                   np.uint64)
+                                        for pr in proofs]))
+            pi_hashes = np.asarray(HP.hash_no_pad_jit(pis))
+            for pr, ph in zip(proofs, pi_hashes):
+                verify(vk, pr, pi_hash=ph)
 
     with tt.scope("verifying chain linkage"):
         for i, proof in enumerate(proofs):
