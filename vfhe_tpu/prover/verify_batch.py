@@ -758,10 +758,14 @@ def stack_proofs(proofs):
     return arrs
 
 
-def verify_batch(vk: VerifierKey, proofs) -> None:
+def verify_batch(vk: VerifierKey, proofs, device=None) -> None:
     """Verify every proof in ``proofs`` (same circuit, same config) in
-    one batched device call on the in-process CPU backend.  Raises
-    VerificationError naming the first failing proof and check family.
+    one batched device call.  Raises VerificationError naming the first
+    failing proof and check family.
+
+    ``device``: None = the in-process CPU backend (the verifier is
+    host-side by default); pass a jax device (e.g. the TPU) to run the
+    whole pipeline there instead — one upload, one executable.
 
     Equivalent to calling prover/verify.verify(vk, p) per proof
     (cross-checked by tests/test_verify_batch.py); replaces the
@@ -784,9 +788,9 @@ def verify_batch(vk: VerifierKey, proofs) -> None:
         raise VerificationError("final poly / layer size mismatch")
 
     arrs = stack_proofs(proofs)
-    cpu = jax.devices("cpu")[0]
-    put = lambda a: jax.device_put(a, cpu)
-    with jax.default_device(cpu):
+    dev = device if device is not None else jax.devices("cpu")[0]
+    put = lambda a: jax.device_put(a, dev)
+    with jax.default_device(dev):
         checks = runner(
             put(arrs["pis"]), put(arrs["wires_cap"]), put(arrs["aux_cap"]),
             put(arrs["quotient_cap"]), put(arrs["open_z"]),
