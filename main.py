@@ -118,7 +118,8 @@ def main(argv=None) -> int:
         if args.recursive:
             out_cts, proofs, sc = verified_pbs_recursive_batch(
                 cts, testv, bsk, ksk, params, config=config,
-                stage2_device=args.stage2_device)
+                stage2_device=args.stage2_device,
+                checkpoint_dir=args.checkpoint_dir)
             log.info("proved %d chains x %d steps (one O(1) proof each) "
                      "in %.2fs", B, params.num_steps, time.time() - t0)
             t0 = time.time()

@@ -321,3 +321,52 @@ def test_recursive_stage2_device_bitexact():
         m_out = cglwe.decrypt(out_b[b], s_to)
         neg_dm = int(gl.neg(jnp.uint64(gl.h_mul(delta, m))))
         check_rotation(np.asarray(testv), np.asarray(m_out), neg_dm)
+
+
+@pytest.mark.heavy
+def test_recursive_batch_checkpoint_resume(tmp_path):
+    """Batched recursive checkpointing: a killed lock-step run resumes
+    at the last complete step and produces the same final proofs as an
+    uninterrupted run (per-chain rstep_{step}_b{b}.bin files, mirroring
+    the single-chain path's test_checkpoint_resume)."""
+    from vfhe_tpu.ivc import verified_pbs_recursive_batch
+    p = TEST_PARAMS  # n=1, N=8 -> 3 steps
+    smoke_cfg = CircuitConfig(fri_num_queries=2, fri_pow_bits=1,
+                              fri_final_poly_len=32)
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(5), 5)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    ms = [2, 3]
+    cts = np.stack([np.asarray(clwe.encrypt(k, s_lwe, gl.h_mul(delta, m),
+                                            0.0))
+                    for k, m in zip(jax.random.split(k5, 2), ms)])
+
+    ckpt = str(tmp_path / "ck")
+    out_a, proofs_a, sc = verified_pbs_recursive_batch(
+        cts, testv, bsk, ksk, p, config=smoke_cfg, checkpoint_dir=ckpt)
+    import os
+    files = sorted(os.listdir(ckpt))
+    assert len(files) == p.num_steps * len(ms)
+
+    # delete the last step's files -> resume must redo ONLY that step
+    for b in range(len(ms)):
+        os.remove(os.path.join(ckpt, f"rstep_{p.num_steps - 1}_b{b}.bin"))
+    out_b, proofs_b, _ = verified_pbs_recursive_batch(
+        cts, testv, bsk, ksk, p, config=smoke_cfg, checkpoint_dir=ckpt)
+    assert (np.asarray(out_a) == np.asarray(out_b)).all()
+    for pa, pb in zip(proofs_a, proofs_b):
+        assert (pa.public_inputs == pb.public_inputs).all()
+        assert pa.pow_witness == pb.pow_witness
+
+    # a fully checkpointed run proves nothing and returns the proofs
+    out_c, proofs_c, _ = verified_pbs_recursive_batch(
+        cts, testv, bsk, ksk, p, config=smoke_cfg, checkpoint_dir=ckpt)
+    assert (np.asarray(out_a) == np.asarray(out_c)).all()
+    for b in range(len(ms)):
+        verify_pbs_recursive(out_c[b], cts[b], testv, bsk, ksk,
+                             proofs_c[b], sc)

@@ -750,13 +750,17 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk,
                                  params: VpbsParams,
                                  config: CircuitConfig = STANDARD_CONFIG,
                                  min_degree_bits: int = 0,
-                                 stage2_device: bool = False):
+                                 stage2_device: bool = False,
+                                 checkpoint_dir: str | None = None):
     """B independent cyclic-IVC chains in lock-step: every ciphertext's
     step-t recursive proof comes from ONE ``prove_batch`` call (the IVC
     chain is sequential per ciphertext, but across ciphertexts step
     proofs are independent — SURVEY.md section 7). Returns
     (out_cts (B,K,N), [final_proof]*B, sc): one O(1) proof per
-    ciphertext, each verified by :func:`verify_pbs_recursive`."""
+    ciphertext, each verified by :func:`verify_pbs_recursive`.
+    ``checkpoint_dir``: persist every step's B proofs
+    (rstep_{step}_b{b}.bin) and resume a killed run at the last
+    complete step."""
     from ..prover.batch import prove_batch
     from .fastpath import compute_chain, compute_bsk_digests, step_pi_values
     p = params
@@ -823,11 +827,32 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk,
         return out
 
     prevs = [None] * B
+    start_step = 0
+    if checkpoint_dir:
+        import os
+        from ..prover.serialize import proof_to_bytes, proof_from_bytes
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        while start_step < p.num_steps:
+            paths = [os.path.join(checkpoint_dir,
+                                  f"rstep_{start_step}_b{b}.bin")
+                     for b in range(B)]
+            if not all(os.path.exists(q) for q in paths):
+                break
+            with_loaded = []
+            for q in paths:
+                with open(q, "rb") as f:
+                    with_loaded.append(proof_from_bytes(f.read()))
+            prevs = with_loaded
+            start_step += 1
+        if start_step:
+            log.info("recursive batch: resuming — %d/%d steps on disk",
+                     start_step, p.num_steps)
     prefetch = ThreadPoolExecutor(max_workers=1)
     pool = ThreadPoolExecutor(max_workers=3)    # per-instance stage 2
     try:
-        fut = prefetch.submit(prep_stage1, 0)
-        for step in range(p.num_steps):
+        if start_step < p.num_steps:
+            fut = prefetch.submit(prep_stage1, start_step)
+        for step in range(start_step, p.num_steps):
             tt = TimingTree(f"prove rec step {step} (batch {B})")
             with tt.scope("witness stage2"):
                 preps = fut.result()
@@ -871,6 +896,12 @@ def verified_pbs_recursive_batch(cts, testv, bsk, ksk,
             if step + 1 < p.num_steps:
                 fut = prefetch.submit(prep_stage1, step + 1)
             prevs = prove_batch(sc.data, pws, timing=tt, witness=W)
+            if checkpoint_dir:
+                for b, pr in enumerate(prevs):
+                    path = os.path.join(checkpoint_dir,
+                                        f"rstep_{step}_b{b}.bin")
+                    with open(path, "wb") as f:
+                        f.write(proof_to_bytes(pr))
             tt.done()
     finally:
         prefetch.shutdown(wait=True, cancel_futures=True)
