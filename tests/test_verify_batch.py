@@ -87,7 +87,7 @@ def test_tampered_opening_rejected(chain):
 def test_tampered_pow_rejected(chain):
     vk, proofs = chain
     bad = [_forged(proofs[0], pow_witness=int(proofs[0].pow_witness) + 1),
-           proofs[1]]
+           proofs[1], proofs[2]]
     with pytest.raises(VerificationError, match="proof 0"):
         verify_batch(vk, bad)
 
@@ -99,7 +99,7 @@ def test_tampered_merkle_sibling_rejected(chain):
     sib = np.array(qo[0].siblings[1], dtype=np.uint64)
     sib[0, 0] ^= np.uint64(1)
     qo[0].siblings[1] = sib
-    bad = [proofs[0], _forged(proofs[1], query_openings=qo)]
+    bad = [proofs[0], _forged(proofs[1], query_openings=qo), proofs[2]]
     with pytest.raises(VerificationError,
                        match="proof 1: oracle merkle paths"):
         verify_batch(vk, bad)
@@ -112,7 +112,7 @@ def test_tampered_fri_leaf_rejected(chain):
     leaf = np.array(fr[0].layers[0].leaf, dtype=np.uint64)
     leaf[0, 0] ^= np.uint64(1)
     fr[0].layers[0].leaf = leaf
-    bad = [_forged(proofs[0], fri_query_rounds=fr), proofs[1]]
+    bad = [_forged(proofs[0], fri_query_rounds=fr), proofs[1], proofs[2]]
     with pytest.raises(VerificationError, match="proof 0"):
         verify_batch(vk, bad)
 
@@ -121,7 +121,7 @@ def test_tampered_final_poly_rejected(chain):
     vk, proofs = chain
     fc = np.array(proofs[1].fri_final_coeffs, dtype=np.uint64)
     fc[0, 0] = (int(fc[0, 0]) + 1) % ((1 << 64) - (1 << 32) + 1)
-    bad = [proofs[0], _forged(proofs[1], fri_final_coeffs=fc)]
+    bad = [proofs[0], _forged(proofs[1], fri_final_coeffs=fc), proofs[2]]
     with pytest.raises(VerificationError, match="proof 1"):
         verify_batch(vk, bad)
 
