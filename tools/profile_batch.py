@@ -1,7 +1,11 @@
 """Profile prove_batch at paper shape: two in-process calls isolate
 compile/cache-load (call 1) from steady-state execution (call 2).
 
-Usage: python tools/profile_batch.py [B] [--recursive]
+Usage: python tools/profile_batch.py [B] [--no-seq]
+
+--no-seq skips the sequential-prove comparison (a separate compile
+family) — used to warm/profile exactly the batch family bench.py and
+the production fast path run.
 """
 
 import sys
@@ -13,7 +17,10 @@ import numpy as np
 
 
 def main():
+    import logging
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    no_seq = "--no-seq" in sys.argv
     import jax
     import jax.numpy as jnp
     from vfhe_tpu.circuit import STANDARD_CONFIG, PartialWitness
@@ -75,16 +82,17 @@ def main():
     pws = [make_pw(min(s, p.num_steps - 1)) for s in range(B)]
     print(f"make_pws({B}): {time.time()-t0:.2f}s", flush=True)
 
-    from vfhe_tpu.prover import prove
-    for run in (1, 2):
-        tt = TimingTree(f"prove run {run} (sequential)")
-        t0 = time.time()
-        prove(sc.data, pws[0], timing=tt)
-        dt = time.time() - t0
-        tt.done()
-        print(f"sequential prove run {run}: {dt:.2f}s", flush=True)
+    if not no_seq:
+        from vfhe_tpu.prover import prove
+        for run in (1, 2):
+            tt = TimingTree(f"prove run {run} (sequential)")
+            t0 = time.time()
+            prove(sc.data, pws[0], timing=tt)
+            dt = time.time() - t0
+            tt.done()
+            print(f"sequential prove run {run}: {dt:.2f}s", flush=True)
 
-    for run in (1, 2):
+    for run in (1, 2, 3):
         tt = TimingTree(f"prove_batch run {run} (B={B})")
         t0 = time.time()
         proofs = prove_batch(sc.data, pws, timing=tt)

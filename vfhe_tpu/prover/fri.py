@@ -121,36 +121,52 @@ def _layer_leaves(values: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(values.reshape(4, m, 2), 0, 1).reshape(m, 8)
 
 
+_GRIND_BATCH = 1 << 15
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _grind_kernel(state, start, bound, batch: int):
+    """One grind round ON DEVICE: expand the 12-element sponge state to
+    ``batch`` candidate states (candidate w in slot 0), permute, and
+    return the FIRST index whose output element 0 clears ``bound``
+    (-1 if none). Only 96 B go up and 8 B come back per round — the
+    previous host-tiled form shipped a (batch, 12) u64 array up
+    (3 MB at 2^15) and the full output column back per instance per
+    round, which made PoW the largest steady-state term of a batch-8
+    paper-shape prove (round-6 profile: 1.1-1.3 s of a 4.0 s batch,
+    nearly all tunnel bytes)."""
+    cand = start + jnp.arange(batch, dtype=jnp.uint64)
+    states = jnp.broadcast_to(state, (batch, state.shape[0]))
+    states = states.at[:, 0].set(cand)
+    hit = H.permute_fast(states, False)[:, 0] < bound
+    first = jnp.argmax(hit).astype(jnp.int64)
+    return jnp.where(jnp.any(hit), first, jnp.int64(-1))
+
+
 def grind(ch: Challenger, pow_bits: int) -> int:
     """Find a witness w s.t. observing [w] then sampling yields an element
-    with ``pow_bits`` leading zero bits."""
+    with ``pow_bits`` leading zero bits. Scan order is the candidate
+    sequence 0, 1, 2, ... chunked ``_GRIND_BATCH`` at a time — the found
+    witness is the globally first hit, independent of the chunking."""
     if ch._inputs:
         ch._duplex()
         ch._outputs.clear()
-    base_state = np.asarray(ch._state)
+    state = jnp.asarray(np.asarray(ch._state))
     bound = np.uint64(1) << np.uint64(64 - pow_bits)
-    # expected hits ~ batch / 2^pow_bits per dispatch: a 2^15 batch cuts
-    # the 16-bit PoW from ~16 tunnel round-trips (~40 ms each) to ~2,
-    # and (32768, 12) is a permute_fast shape the compile cache already
-    # holds from bench.py (remote compiles of NEW shapes cost minutes)
-    batch = 1 << 15
+    batch = _GRIND_BATCH
     start = 0
     while True:
-        cand = np.arange(start, start + batch, dtype=np.uint64)
-        states = np.tile(base_state, (batch, 1))
-        states[:, 0] = cand
-        out = np.asarray(H.permute_fast_jit(jnp.asarray(states)))[:, 0]
-        hits = np.flatnonzero(out < bound)
-        if hits.size:
-            return int(cand[hits[0]])
+        ix = int(_grind_kernel(state, np.uint64(start), bound, batch))
+        if ix >= 0:
+            return start + ix
         start += batch
 
 
 def grind_batch(chs: list, pow_bits: int) -> list:
     """``grind`` for B independent challengers with the dispatches
-    PIPELINED: all pending instances' 2^15-candidate batches are queued
-    async and fetched with ONE device_get, so a B=8 prover pays ~2
-    tunnel round-trips instead of ~16 sequential ones. Scan order per
+    PIPELINED: all pending instances' rounds are queued async and their
+    first-hit indices fetched with ONE device_get (8 B each), so a B=8
+    prover pays ~3 tunnel round-trips of scalars total. Scan order per
     instance is identical to ``grind`` — the found witnesses (and hence
     the proofs) are bit-identical."""
     import jax as _jax
@@ -159,24 +175,19 @@ def grind_batch(chs: list, pow_bits: int) -> list:
             ch._duplex()
             ch._outputs.clear()
     bound = np.uint64(1) << np.uint64(64 - pow_bits)
-    batch = 1 << 15
+    batch = _GRIND_BATCH
+    states = [jnp.asarray(np.asarray(ch._state)) for ch in chs]
     found: list = [None] * len(chs)
     start = 0
     while True:
         pend = [b for b, f in enumerate(found) if f is None]
         if not pend:
             return found
-        cand = np.arange(start, start + batch, dtype=np.uint64)
-        outs = []
-        for b in pend:                       # queue async, fetch once
-            states = np.tile(np.asarray(chs[b]._state), (batch, 1))
-            states[:, 0] = cand
-            outs.append(H.permute_fast_jit(jnp.asarray(states))[:, 0])
-        outs = _jax.device_get(outs)
-        for b, out in zip(pend, outs):
-            hits = np.flatnonzero(out < bound)
-            if hits.size:
-                found[b] = int(cand[hits[0]])
+        outs = [_grind_kernel(states[b], np.uint64(start), bound, batch)
+                for b in pend]               # queue async, fetch once
+        for b, ix in zip(pend, _jax.device_get(outs)):
+            if ix >= 0:
+                found[b] = start + int(ix)
         start += batch
 
 
