@@ -3,9 +3,15 @@
 Prints ONE JSON line (the driver contract):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline metric is Goldilocks negacyclic NTT butterflies/s/chip
-(BASELINE.json north-star kernel). The reference repo publishes no
-numbers (BASELINE.md), so vs_baseline is 1.0.
+The headline metric is the PROVER-LEVEL step latency
+(vpbs_step_latency_s: paper shape, h=2^13, batch-8 fast path, warm) —
+the trustworthy round-over-round trend line; kernel micro-rates are
+dispatch-noise-dominated through the TPU tunnel (BENCH_EXTRA.md) and
+are demoted to `extra:` lines. vs_baseline is the round-4 recorded
+step latency (0.354 s) divided by this run's, so >1 means faster than
+the round-4 record. If the step-latency probe fails, the headline
+degrades to the NTT kernel rate with vs_baseline 1.0 (the reference
+repo publishes no numbers, BASELINE.md).
 
 Extra machine-readable metrics go to stderr as JSON lines prefixed
 "extra: " — Poseidon permutations/s, the serially-DEPENDENT NTT chain
@@ -183,8 +189,6 @@ def main() -> int:
             times.append(time.perf_counter() - t0)
         signal.alarm(0)
         lat = sorted(times)[1] / 8
-        extra("vpbs_step_latency_s", lat, "s/step (paper shape, h=2^13, "
-              "standard config, batch-8 fast path, warm, one v5e chip)")
         extra("vpbs_projected_full_chain_s", lat * p.num_steps,
               "s (730 steps, single-chip fast-path projection; measured "
               "full run: BENCH_EXTRA.md)")
@@ -192,16 +196,28 @@ def main() -> int:
               file=sys.stderr)
     except Exception as e:                                  # noqa: BLE001
         signal.alarm(0)
+        lat = None
         reason = str(e).splitlines()[0][:160] if str(e) else type(e).__name__
         print(f"step-latency skipped: {reason}", file=sys.stderr)
         extra("vpbs_step_latency_skipped", 1, reason)
 
-    print(json.dumps({
-        "metric": f"goldilocks_negacyclic_ntt_butterflies_per_s_N{n}",
-        "value": rate,
-        "unit": "butterflies/s/chip",
-        "vs_baseline": 1.0,
-    }))
+    if lat is not None:
+        extra(f"goldilocks_negacyclic_ntt_butterflies_per_s_N{n}", rate,
+              "butterflies/s/chip")
+        print(json.dumps({
+            "metric": "vpbs_step_latency_s",
+            "value": lat,
+            "unit": "s/step (paper shape, h=2^13, standard config, "
+                    "batch-8 fast path, warm, one v5e chip)",
+            "vs_baseline": 0.354 / lat,   # round-4 record / this run
+        }))
+    else:
+        print(json.dumps({
+            "metric": f"goldilocks_negacyclic_ntt_butterflies_per_s_N{n}",
+            "value": rate,
+            "unit": "butterflies/s/chip",
+            "vs_baseline": 1.0,
+        }))
     return 0
 
 

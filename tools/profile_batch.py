@@ -1,5 +1,5 @@
-"""Profile prove_batch at paper shape: two in-process calls isolate
-compile/cache-load (call 1) from steady-state execution (call 2).
+"""Profile prove_batch at paper shape: the first in-process call
+isolates compile/cache-load, the next two measure steady state.
 
 Usage: python tools/profile_batch.py [B] [--no-seq]
 
@@ -19,7 +19,8 @@ import numpy as np
 def main():
     import logging
     logging.basicConfig(level=logging.INFO, format="%(message)s")
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(pos[0]) if pos else 4
     no_seq = "--no-seq" in sys.argv
     import jax
     import jax.numpy as jnp

@@ -235,9 +235,6 @@ class CircuitBuilder:
         """out = x*y + z in one ARITH lane."""
         return self._arith_vec(1, 1, x, y, z)
 
-    def mul_add_vec(self, x, y, z) -> np.ndarray:
-        return self._arith_vec(1, 1, x, y, z)
-
     def neg_vec(self, x) -> np.ndarray:
         x = _np_idx(x)
         one = np.full(x.shape, self.one(), dtype=np.int64)

@@ -133,8 +133,8 @@ def _grind_kernel(state, start, bound, batch: int):
     previous host-tiled form shipped a (batch, 12) u64 array up
     (3 MB at 2^15) and the full output column back per instance per
     round, which made PoW the largest steady-state term of a batch-8
-    paper-shape prove (round-6 profile: 1.1-1.3 s of a 4.0 s batch,
-    nearly all tunnel bytes)."""
+    paper-shape prove (round-4 sub-scope profile: 1.1-1.3 s of a 4.0 s
+    batch, nearly all tunnel bytes)."""
     cand = start + jnp.arange(batch, dtype=jnp.uint64)
     states = jnp.broadcast_to(state, (batch, state.shape[0]))
     states = states.at[:, 0].set(cand)
