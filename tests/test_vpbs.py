@@ -204,6 +204,77 @@ def test_paper_recursive_circuit_row_budget():
     assert sc.data.h == 1 << 15, sc.data.rows_used
 
 
+@pytest.mark.heavy
+def test_row_overflow_falls_back_to_next_height():
+    """Graceful overflow (VERDICT round 4 next #7): a circuit that
+    exceeds its power-of-two row boundary must BUILD at the next height
+    and PROVE — the strict row-budget tests above stay the regression
+    tripwire, but an overflow is a slower run, not a failed build.
+    Exercised at toy shape via get_step_circuit(pad_rows=...): pad one
+    row past the boundary, prove a real step, verify."""
+    from vfhe_tpu.circuit import TEST_CONFIG
+    from vfhe_tpu.ivc.vpbs import get_step_circuit, make_step_witness
+    from vfhe_tpu.prover import prove, preprocess, verify
+
+    p = TEST_PARAMS
+    sc0 = get_step_circuit(p, TEST_CONFIG)
+    margin = sc0.data.h - sc0.data.rows_used
+    sc = get_step_circuit(p, TEST_CONFIG, pad_rows=margin + 1)
+    assert sc.data.h == 2 * sc0.data.h, (sc.data.rows_used, sc.data.h)
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(31), 5)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(delta, 3), 0.0)
+
+    pw = make_step_witness(sc, 1, np.asarray(ct, np.uint64), testv,
+                           bsk, ksk)
+    proof = prove(sc.data, pw)
+    verify(preprocess(sc.data)["vk"], proof)
+
+
+@pytest.mark.slow
+def test_paper_step_overflow_proves_at_2_14(caplog):
+    """The exact failure mode VERDICT round 4 (weak #3) wants automated
+    away: the paper-shape step circuit at 99.0% occupancy overflowing
+    its 86-row margin must become a WARNED h=2^14 run, not a failed
+    build. Pads 87 rows over, asserts h=2^14 + the loud warning, then
+    proves and verifies a real step at the doubled height."""
+    import logging as _logging
+
+    from vfhe_tpu.circuit import STANDARD_CONFIG
+    from vfhe_tpu.ivc.vpbs import get_step_circuit, make_step_witness
+    from vfhe_tpu.prover import prove, preprocess, verify
+
+    p = VpbsParams(n=2, N=1024, K=2, ELL=4, LOGB=5, p=2)
+    sc0 = get_step_circuit(p, STANDARD_CONFIG)
+    margin = sc0.data.h - sc0.data.rows_used           # 86 at round-5 HEAD
+    with caplog.at_level(_logging.WARNING, logger="vfhe_tpu"):
+        sc = get_step_circuit(p, STANDARD_CONFIG, pad_rows=margin + 1)
+    assert sc.data.h == 1 << 14, (sc.data.rows_used, sc.data.h)
+    assert any("OUTGREW" in r.message for r in caplog.records)
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(33), 5)
+    s_to = cglwe.partial_key(k1, p.n, p.N, p.K)
+    s_lwe = cglwe.flatten_partial_key(s_to, p.n)
+    s_glwe = cglwe.key_gen(k2, p.N, p.K)
+    bsk = compute_bsk(k3, s_lwe, s_glwe, 0.0, p.ELL, p.LOGB)
+    ksk = cggsw.compute_ksk(k4, s_to, s_glwe, 0.0, p.ELL, p.LOGB)
+    testv = jnp.asarray(np.arange(p.N, dtype=np.uint64))
+    delta = gl.P >> ((2 * p.N - 1).bit_length())
+    ct = clwe.encrypt(k5, s_lwe, gl.h_mul(delta, 1), 0.0)
+
+    pw = make_step_witness(sc, 1, np.asarray(ct, np.uint64), testv,
+                           bsk, ksk)
+    proof = prove(sc.data, pw)
+    verify(preprocess(sc.data)["vk"], proof)
+
+
 @pytest.mark.slow
 def test_standard_config_vpbs_chain():
     """Prove + verify + decrypt-check a chain at the PRODUCTION FRI
