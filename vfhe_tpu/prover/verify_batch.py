@@ -708,6 +708,149 @@ def _verifier_cache(vk_key, batch):
 _verifier_cache._vks = {}
 
 
+# ---------------------------------------------------------------------------
+# AOT executable cache (kills the verifier's cold start)
+#
+# jax's persistent compilation cache only skips the XLA compile; TRACING
+# the batched verifier (~16 s at paper shape on CPU) is paid once per
+# process.  Serializing the compiled PJRT executable itself loads in
+# O(file size), so a cold process with a warm cache verifies in well
+# under a second (VERDICT round 4 next #5).  Same mechanism + caveats as
+# the witness-fn cache (circuit/compile._LazyExportCached): executables
+# are machine-specific (key includes platform version + CPU flags), and
+# multi-circuit processes disable it via VFHE_WFN_EXE_CACHE=0 (raw-PJRT
+# deserialization can clash with already-loaded modules — conftest).
+# ---------------------------------------------------------------------------
+
+_VB_SCHEMA = 1
+# the jitted verifier returns a dict; its flattened output order is the
+# sorted key order, which the raw-executable path must reproduce. The
+# compile path asserts this list stays in sync with run()'s checks.
+_CHECK_NAMES = ("PLONK identity", "fri final poly", "fri folds",
+                "oracle merkle paths", "proof of work", "query indices",
+                "zeta not in H")
+
+
+@functools.lru_cache(maxsize=1)
+def _module_src_hash() -> bytes:
+    import hashlib
+    try:
+        with open(__file__, "rb") as f:
+            return hashlib.sha256(f.read()).digest()
+    except OSError:
+        return b"no-source"
+
+
+def _aot_path(vk: VerifierKey, batch: int, dev) -> str | None:
+    """Disk path for this (vk, batch) verifier executable, or None when
+    AOT caching does not apply (no cache dir, non-CPU backend, or the
+    multi-circuit kill switch)."""
+    import hashlib
+    import os
+
+    root = jax.config.jax_compilation_cache_dir
+    if not root or dev.platform != "cpu":
+        return None
+    if os.environ.get("VFHE_WFN_EXE_CACHE", "1") == "0":
+        return None
+    import jaxlib
+    import jax.extend as jex
+    backend = jex.backend.get_backend("cpu")
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpuflags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        cpuflags = ""
+    h = hashlib.sha256()
+    h.update(f"vb{_VB_SCHEMA}|{jax.__version__}|{jaxlib.__version__}|"
+             f"{batch}|{vk.h}|{vk.num_pis}|{vk.num_preproc}|".encode())
+    h.update(backend.platform_version.encode())
+    h.update(cpuflags.encode())
+    h.update(repr(vk.config).encode())
+    h.update(repr([(g.kind, g.param) for g in vk.gates]).encode())
+    for a in (vk.k_cosets, vk.preproc_cap, vk.circuit_digest):
+        h.update(np.ascontiguousarray(np.asarray(a, np.uint64)).tobytes())
+    h.update(np.ascontiguousarray(HC.all_round_constants()).tobytes())
+    h.update(_module_src_hash())
+    return os.path.join(root, "vbexe", f"cpu-{h.hexdigest()[:32]}.pjrt")
+
+
+def has_aot_entry(vk: VerifierKey, batch: int) -> bool:
+    """True when a serialized verifier executable for (vk, batch) is on
+    disk — i.e. verify_batch will skip trace AND compile entirely."""
+    import os
+    dev = jax.devices("cpu")[0]
+    path = _aot_path(vk, batch, dev)
+    return path is not None and os.path.exists(path)
+
+
+_exe_memo: dict = {}
+
+
+def _run_verifier(runner, args, dev, vk: VerifierKey, batch: int):
+    """Execute the batched verifier, preferring the on-disk serialized
+    executable; on the first compile, persist it. Falls back to the
+    plain jit path on any AOT failure."""
+    import logging
+    import os
+
+    log = logging.getLogger("vfhe_tpu")
+    path = _aot_path(vk, batch, dev)
+    if path and os.path.exists(path):
+        try:
+            import jax.extend as jex
+            backend = jex.backend.get_backend("cpu")
+            exe = _exe_memo.get(path)
+            if exe is None:
+                # deserialize is NOT a cheap load: XLA:CPU re-codegens
+                # the thunks from the serialized blob every call
+                # (measured 1.6-2.4 s for a 12.7 MB executable, repeat
+                # calls just as slow) — memoize per process
+                with open(path, "rb") as f:
+                    exe = backend.deserialize_executable(f.read(), [dev])
+                _exe_memo[path] = exe
+            flat, _ = jax.tree_util.tree_flatten(args)
+            bufs = [jax.device_put(np.asarray(a), dev) for a in flat]
+            out = exe.execute_sharded(bufs)
+            leaves = [o[0] for o in
+                      out.disassemble_into_single_device_arrays()]
+            log.info("verifier executable cache hit (batch %d)", batch)
+            return jax.device_get(dict(zip(_CHECK_NAMES, leaves)))
+        except Exception as e:                              # noqa: BLE001
+            log.info("verifier executable cache entry invalid (%s); "
+                     "recompiling", e)
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    put = lambda a: jax.device_put(a, dev)                  # noqa: E731
+    args_dev = jax.tree_util.tree_map(put, args)
+    with jax.default_device(dev):
+        if path:
+            try:
+                import jax.extend as jex
+                specs = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(np.asarray(a).shape,
+                                                   np.asarray(a).dtype),
+                    args)
+                compiled = runner.lower(*specs).compile()
+                checks = jax.device_get(compiled(*args_dev))
+                assert sorted(checks) == list(_CHECK_NAMES), \
+                    "update _CHECK_NAMES to match run()'s check families"
+                backend = jex.backend.get_backend("cpu")
+                blob = backend.serialize_executable(
+                    compiled.runtime_executable())
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)
+                return checks
+            except Exception as e:                          # noqa: BLE001
+                log.info("verifier executable cache disabled: %s", e)
+        return jax.device_get(runner(*args_dev))
+
+
 def stack_proofs(proofs):
     """Stage a list of same-shape proofs as stacked numpy arrays."""
     Q = len(proofs[0].query_indices)
@@ -789,18 +932,12 @@ def verify_batch(vk: VerifierKey, proofs, device=None) -> None:
 
     arrs = stack_proofs(proofs)
     dev = device if device is not None else jax.devices("cpu")[0]
-    put = lambda a: jax.device_put(a, dev)
-    with jax.default_device(dev):
-        checks = runner(
-            put(arrs["pis"]), put(arrs["wires_cap"]), put(arrs["aux_cap"]),
-            put(arrs["quotient_cap"]), put(arrs["open_z"]),
-            put(arrs["open_gz"]), put(arrs["fri_caps"]),
-            put(arrs["final_coeffs"]), put(arrs["pow_witness"]),
-            put(arrs["qidx"]), [put(a) for a in arrs["leaves"]],
-            [put(a) for a in arrs["oracle_sibs"]],
-            [put(a) for a in arrs["fri_leaves"]],
-            [put(a) for a in arrs["fri_sibs"]])
-        checks = jax.device_get(checks)
+    args = (arrs["pis"], arrs["wires_cap"], arrs["aux_cap"],
+            arrs["quotient_cap"], arrs["open_z"], arrs["open_gz"],
+            arrs["fri_caps"], arrs["final_coeffs"], arrs["pow_witness"],
+            arrs["qidx"], arrs["leaves"], arrs["oracle_sibs"],
+            arrs["fri_leaves"], arrs["fri_sibs"])
+    checks = _run_verifier(runner, args, dev, vk, B)
     for name, ok in checks.items():
         if not ok.all():
             bad = int(np.flatnonzero(~ok)[0])
