@@ -182,3 +182,49 @@ def test_precompute_sponges_unresolved_inputs_rejected():
     pw.set_target_arr(xs[:8], np.arange(8, dtype=np.uint64))  # half missing
     with pytest.raises(AssertionError):
         pw.precompute_sponges(data)
+
+
+def test_grind_matches_host_scan(rng):
+    """The one-dispatch device grind (fri._grind_kernel_multi) must find
+    exactly the candidate a sequential host scan finds: the globally
+    FIRST w (scan order 0, 1, 2, ...) whose duplexed sponge output
+    clears the PoW bound. Pins the bit-identity of proofs across the
+    round-5 grind rewrite (per-window host loop -> device while_loop)."""
+    import copy
+
+    from vfhe_tpu.hashing import poseidon as H
+    from vfhe_tpu.prover import fri
+    from vfhe_tpu.prover.challenger import Challenger
+
+    pow_bits = 8
+    bound = 1 << (64 - pow_bits)
+    chs = []
+    for i in range(3):
+        ch = Challenger()
+        ch.observe([int(x) for x in rng.integers(0, 2**62, 5 + i)])
+        chs.append(ch)
+    fresh = [copy.deepcopy(ch) for ch in chs]
+
+    expected = []
+    for ch in copy.deepcopy(chs):
+        ch._duplex()
+        ch._outputs.clear()
+        st = [int(x) for x in np.asarray(ch._state)]
+        w = 0
+        while True:
+            s = list(st)
+            s[0] = w
+            if H.permute_host(s)[0] < bound:
+                break
+            w += 1
+        expected.append(w)
+
+    got = fri.grind_batch(chs, pow_bits)
+    assert got == expected
+    # single-instance entry point agrees, and the witnesses round-trip
+    # through the verifier-side check (check_pow runs on the DUPLEXED
+    # challenger — the state the transcript replay reaches — which is
+    # exactly what grind_batch left in chs)
+    assert fri.grind(copy.deepcopy(fresh[0]), pow_bits) == expected[0]
+    for ch, w in zip(chs, got):
+        assert fri.check_pow(ch, w, pow_bits)

@@ -124,71 +124,63 @@ def _layer_leaves(values: jnp.ndarray) -> jnp.ndarray:
 _GRIND_BATCH = 1 << 15
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _grind_kernel(state, start, bound, batch: int):
-    """One grind round ON DEVICE: expand the 12-element sponge state to
-    ``batch`` candidate states (candidate w in slot 0), permute, and
-    return the FIRST index whose output element 0 clears ``bound``
-    (-1 if none). Only 96 B go up and 8 B come back per round — the
-    previous host-tiled form shipped a (batch, 12) u64 array up
-    (3 MB at 2^15) and the full output column back per instance per
-    round, which made PoW the largest steady-state term of a batch-8
-    paper-shape prove (round-4 sub-scope profile: 1.1-1.3 s of a 4.0 s
-    batch, nearly all tunnel bytes)."""
-    cand = start + jnp.arange(batch, dtype=jnp.uint64)
-    states = jnp.broadcast_to(state, (batch, state.shape[0]))
-    states = states.at[:, 0].set(cand)
-    hit = H.permute_fast(states, False)[:, 0] < bound
-    first = jnp.argmax(hit).astype(jnp.int64)
-    return jnp.where(jnp.any(hit), first, jnp.int64(-1))
+@functools.partial(jax.jit, static_argnums=(2,))
+def _grind_kernel_multi(states, bound, batch: int):
+    """The WHOLE grind for B independent sponge states in ONE dispatch:
+    a device-side while_loop scans non-overlapping ascending windows of
+    ``batch`` candidates (candidate w in slot 0 of every state) until
+    every instance has a hit, and returns the (B,) first-hit witnesses.
+
+    Scan order per instance is the candidate sequence 0, 1, 2, ...;
+    the first hit is independent of the window size, so the found
+    witnesses — and hence the proofs — are bit-identical to the old
+    per-round host loop. That loop cost one host->device round plus a
+    blocking scalar fetch per window (~36 ms each through the TPU
+    tunnel), and its host wakeups contended with the witness-prefetch
+    threads of the NEXT prover batch: "pow grind" measured 1.16 s
+    median per batch-8 in the round-5 full run vs 0.12-0.4 s isolated.
+    One dispatch + one 8B-per-instance fetch makes the scope
+    contention-immune."""
+    B = states.shape[0]
+
+    def window(carry):
+        start, found, wit = carry
+        cand = start + jnp.arange(batch, dtype=jnp.uint64)     # (W,)
+        st = jnp.broadcast_to(states[:, None, :], (B, batch, 12))
+        st = st.at[:, :, 0].set(jnp.broadcast_to(cand, (B, batch)))
+        out0 = H.permute_fast(st.reshape(B * batch, 12),
+                              False)[:, 0].reshape(B, batch)
+        hit = out0 < bound                                     # (B, W)
+        any_hit = hit.any(axis=1)
+        first = start + jnp.argmax(hit, axis=1).astype(jnp.uint64)
+        wit = jnp.where(~found & any_hit, first, wit)
+        return (start + jnp.uint64(batch), found | any_hit, wit)
+
+    carry = (jnp.uint64(0), jnp.zeros(B, bool),
+             jnp.zeros(B, jnp.uint64))
+    _, _, wit = jax.lax.while_loop(lambda c: ~c[1].all(), window, carry)
+    return wit
 
 
 def grind(ch: Challenger, pow_bits: int) -> int:
     """Find a witness w s.t. observing [w] then sampling yields an element
     with ``pow_bits`` leading zero bits. Scan order is the candidate
-    sequence 0, 1, 2, ... chunked ``_GRIND_BATCH`` at a time — the found
-    witness is the globally first hit, independent of the chunking."""
-    if ch._inputs:
-        ch._duplex()
-        ch._outputs.clear()
-    state = jnp.asarray(np.asarray(ch._state))
-    bound = np.uint64(1) << np.uint64(64 - pow_bits)
-    batch = _GRIND_BATCH
-    start = 0
-    while True:
-        ix = int(_grind_kernel(state, np.uint64(start), bound, batch))
-        if ix >= 0:
-            return start + ix
-        start += batch
+    sequence 0, 1, 2, ... — the found witness is the globally first
+    hit (one-instance case of :func:`grind_batch`)."""
+    return grind_batch([ch], pow_bits)[0]
 
 
 def grind_batch(chs: list, pow_bits: int) -> list:
-    """``grind`` for B independent challengers with the dispatches
-    PIPELINED: all pending instances' rounds are queued async and their
-    first-hit indices fetched with ONE device_get (8 B each), so a B=8
-    prover pays ~3 tunnel round-trips of scalars total. Scan order per
-    instance is identical to ``grind`` — the found witnesses (and hence
-    the proofs) are bit-identical."""
-    import jax as _jax
+    """``grind`` for B independent challengers in ONE device dispatch
+    (see :func:`_grind_kernel_multi`)."""
     for ch in chs:
         if ch._inputs:
             ch._duplex()
             ch._outputs.clear()
     bound = np.uint64(1) << np.uint64(64 - pow_bits)
-    batch = _GRIND_BATCH
-    states = [jnp.asarray(np.asarray(ch._state)) for ch in chs]
-    found: list = [None] * len(chs)
-    start = 0
-    while True:
-        pend = [b for b, f in enumerate(found) if f is None]
-        if not pend:
-            return found
-        outs = [_grind_kernel(states[b], np.uint64(start), bound, batch)
-                for b in pend]               # queue async, fetch once
-        for b, ix in zip(pend, _jax.device_get(outs)):
-            if ix >= 0:
-                found[b] = start + int(ix)
-        start += batch
+    states = jnp.asarray(np.stack([np.asarray(ch._state) for ch in chs]))
+    wit = np.asarray(_grind_kernel_multi(states, bound, _GRIND_BATCH))
+    return [int(w) for w in wit]
 
 
 def check_pow(ch: Challenger, witness: int, pow_bits: int) -> bool:
