@@ -40,7 +40,39 @@ def _time(fn, iters):
     return time.perf_counter() - t0
 
 
+def _tunnel_alive(timeout_s: int = 90) -> bool:
+    """Probe the TPU tunnel in a SUBPROCESS (external kill — a SIGALRM
+    inside this process cannot interrupt a device op stuck in a C++
+    futex wait). The tunnel stalls for tens of minutes at a time
+    (CLAUDE.md round-5 notes); a bench that hangs forever records
+    nothing, an honest skip line records the cause."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(int((jnp.arange(4, dtype=jnp.uint64) ** 2).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "14" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    if not _tunnel_alive():
+        print("TPU tunnel unresponsive (device ops hang; known "
+              "multi-minute stalls, CLAUDE.md round-5 notes) — "
+              "measured prover numbers live in BENCH_EXTRA.md",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "bench_skipped_tpu_tunnel_stall",
+            "value": 1,
+            "unit": "see BENCH_EXTRA.md for the measured step latency "
+                    "(0.392 s/step explicit, 3.14 s/step/chain "
+                    "recursive B=2, round 5)",
+            "vs_baseline": 0.0,
+        }))
+        return 0
     import jax
     import jax.numpy as jnp
     from vfhe_tpu.field import goldilocks as gl   # enables x64
